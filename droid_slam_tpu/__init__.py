@@ -1,0 +1,23 @@
+"""droid_slam_tpu — a TPU-native deep visual SLAM framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+princeton-vl/DROID-SLAM (reference mounted read-only at /root/reference).
+The compute path is jitted XLA + Pallas kernels; dynamic structures of the
+reference (factor graphs, keyframe ring buffers) are recast as fixed-capacity
+padded arrays so the hot loop compiles once and stays on-device.
+
+Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
+  lie/     pure-JAX SE3/Sim3 quaternion Lie groups   (replaces lietorch CUDA)
+  geom/    projective geometry + analytic Jacobians  (geom/projective_ops.py)
+  ba/      dense bundle adjustment as masked static-shape linear algebra
+           (replaces src/droid_kernels.cu + geom/ba.py — ONE implementation)
+  models/  feature/context encoders, ConvGRU update operator (modules/*)
+  ops/     correlation pyramid + lookup kernels      (src/*corr*.cu)
+  state/   padded DepthVideo + FactorGraph           (depth_video.py, factor_graph.py)
+  slam/    motion filter, frontend, backend, trajectory filler, Droid facade
+  train/   losses, data-parallel trainer             (train.py, geom/losses.py)
+  data/    dataset readers + augmentation            (data_readers/*)
+  eval/    ATE/RPE metrics + evaluation harnesses    (evaluation_scripts/*)
+"""
+
+__version__ = "0.1.0"

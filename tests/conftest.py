@@ -1,0 +1,22 @@
+"""Test config: force CPU with a virtual 8-device mesh BEFORE jax import.
+
+Multi-chip sharding is validated on the virtual mesh
+(xla_force_host_platform_device_count); real-TPU numbers come from bench.py.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
