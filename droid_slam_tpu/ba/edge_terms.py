@@ -1,0 +1,112 @@
+"""Per-edge Gauss-Newton linearization terms for dense bundle adjustment.
+
+One implementation of the math that the reference splits between the CUDA
+projective_transform_kernel (/root/reference/src/droid_kernels.cu:185-433,
+inference) and the pure-PyTorch assembly (/root/reference/droid_slam/geom/ba.py:38-67,
+training). All quantities are edge-major, static-shape, fp32; XLA fuses the
+chain (Lie ops -> projection -> Jacobians -> weighting) into a handful of
+kernels so nothing round-trips to the host (the reference BA crosses
+GPU->CPU(Eigen)->GPU every iteration — the main latency cliff we remove).
+
+Layout: HW is flattened to the last (lane) dimension.
+  r  [E, 2, HW]    residuals target - proj
+  w  [E, 2, HW]    0.001-scaled confidence weights, zeroed behind the camera
+  Ji [E, 2, 6, HW] d(proj)/d(left-perturbation of pose i)
+  Jj [E, 2, 6, HW] d(proj)/d(left-perturbation of pose j)
+  Jz [E, 2, HW]    d(proj)/d(inverse depth of source pixel)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..geom import projective as pops
+
+
+class EdgeTerms(NamedTuple):
+    r: jnp.ndarray
+    w_pose: jnp.ndarray   # weights for pose blocks (zeroed on stereo edges)
+    w_depth: jnp.ndarray  # weights for depth blocks (kept on stereo edges)
+    Ji: jnp.ndarray
+    Jj: jnp.ndarray
+    Jz: jnp.ndarray
+
+
+def linearize(poses, disps, intrinsics, target, weight, ii, jj,
+              edge_valid=None, min_depth=pops.MIN_DEPTH_BA,
+              zero_stereo_pose=True) -> EdgeTerms:
+    """Linearize the reprojection residuals of every edge.
+
+    target/weight: [E, 2, HW]. ii/jj: [E] frame indices into poses/disps.
+    edge_valid: optional [E] bool mask for padded edge slots.
+
+    Weight semantics follow droid_kernels.cu:311-385: weights are scaled by
+    0.001 and zeroed where the transformed depth is behind min_depth; on
+    stereo edges (ii == jj) the pose-block weights are zeroed but the
+    depth-block weights are kept (zero_stereo_pose=True, the inference
+    behavior; the training BA of geom/ba.py:43 keeps them).
+    """
+    E = ii.shape[0]
+    h, w_ = disps.shape[-2:]
+    hw = h * w_
+
+    coords, valid, (Ji, Jj, Jz) = pops.projective_transform(
+        poses, disps, intrinsics, ii, jj, jacobian=True, min_depth=min_depth)
+
+    # [E,H,W,c...] -> [E,c...,HW]
+    coords = coords.reshape(E, hw, 2).transpose(0, 2, 1)
+    valid = valid.reshape(E, 1, hw)
+
+    r = target - coords
+    wgt = 0.001 * weight * valid
+    if edge_valid is not None:
+        wgt = wgt * edge_valid[:, None, None].astype(wgt.dtype)
+
+    if zero_stereo_pose:
+        stereo = (ii == jj)[:, None, None].astype(wgt.dtype)
+        w_pose = wgt * (1.0 - stereo)
+    else:
+        w_pose = wgt
+    w_depth = wgt
+
+    Ji = Ji.reshape(E, hw, 2, 6).transpose(0, 2, 3, 1)
+    Jj = Jj.reshape(E, hw, 2, 6).transpose(0, 2, 3, 1)
+    Jz = Jz.reshape(E, hw, 2).transpose(0, 2, 1)
+
+    return EdgeTerms(r=r, w_pose=w_pose, w_depth=w_depth, Ji=Ji, Jj=Jj, Jz=Jz)
+
+
+def pose_blocks(t: EdgeTerms):
+    """Dense per-edge pose Hessian blocks and RHS
+    (droid_kernels.cu:337-351, geom/ba.py:53-59).
+
+    Returns Hii, Hij, Hji, Hjj [E,6,6] and vi, vj [E,6].
+    """
+    def H(Ja, Jb):
+        return jnp.einsum("ech,ecdh,ecfh->edf", t.w_pose, Ja, Jb,
+                          precision="highest")
+
+    Hii = H(t.Ji, t.Ji)
+    Hij = H(t.Ji, t.Jj)
+    Hjj = H(t.Jj, t.Jj)
+    Hji = jnp.swapaxes(Hij, -1, -2)
+    vi = jnp.einsum("ech,ecdh,ech->ed", t.w_pose, t.Ji, t.r,
+                    precision="highest")
+    vj = jnp.einsum("ech,ecdh,ech->ed", t.w_pose, t.Jj, t.r,
+                    precision="highest")
+    return Hii, Hij, Hji, Hjj, vi, vj
+
+
+def depth_blocks(t: EdgeTerms):
+    """Per-edge depth-coupled terms (droid_kernels.cu:328-384).
+
+    Ei/Ej [E,6,HW] pose-depth coupling (pose-weighted), Cz [E,HW] depth diag,
+    bz [E,HW] depth RHS (depth-weighted).
+    """
+    Ei = jnp.einsum("ech,ecdh,ech->edh", t.w_pose, t.Ji, t.Jz)
+    Ej = jnp.einsum("ech,ecdh,ech->edh", t.w_pose, t.Jj, t.Jz)
+    Cz = jnp.einsum("ech,ech,ech->eh", t.w_depth, t.Jz, t.Jz)
+    bz = jnp.einsum("ech,ech,ech->eh", t.w_depth, t.r, t.Jz)
+    return Ei, Ej, Cz, bz

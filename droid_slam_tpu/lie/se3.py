@@ -111,7 +111,8 @@ def act(g: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     """Apply to homogeneous points X[..., 4] = [x, y, z, w]:
     Y[:3] = R X[:3] + w t; Y[3] = w."""
     y = quat_rotate(g[..., 3:7], X[..., :3]) + X[..., 3:4] * g[..., :3]
-    return jnp.concatenate([y, X[..., 3:4]], axis=-1)
+    w = jnp.broadcast_to(X[..., 3:4], y.shape[:-1] + (1,))
+    return jnp.concatenate([y, w], axis=-1)
 
 
 def act3(g: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
