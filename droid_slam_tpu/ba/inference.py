@@ -1,0 +1,301 @@
+"""Inference-time dense bundle adjustment as static-shape on-device linear algebra.
+
+TPU re-architecture of ba_cuda (/root/reference/src/droid_kernels.cu:1323-1443).
+The reference assembles a sparse pose system on the host and solves it with
+Eigen's fp64 CPU Cholesky every Gauss-Newton iteration — a GPU->CPU->GPU round
+trip per iteration (SURVEY.md §3.1). Here the whole iteration (linearize ->
+Hessian assembly -> Schur complement -> blocked Cholesky -> retraction) is one
+jitted XLA program; window sizes, edge counts and Schur row groups are padded
+to static buckets so the program compiles once per bucket.
+
+Math parity with ba_cuda:
+  * depth variables for kx = unique(ii ∪ [t0,t1)) — realized as the contiguous
+    window [g0, g0+NW) with a validity mask (kx is contiguous in practice).
+  * Schur trick: S = E Q E^T grouped by depth frame; rows are the per-frame
+    accumulated Eii rows plus per-edge Eij rows with pose jj
+    (droid_kernels.cu:1231-1320). Rows whose pose is outside [t0,t1) drop out.
+  * RGB-D prior: C += m*alpha, w -= m*alpha*(d - d_sens), alpha=0.05
+    (droid_kernels.cu:1404-1408); eta damping applied where no sensor.
+  * damping diag += ep + lm*diag applied AFTER the Schur subtraction
+    (droid_kernels.cu:1201-1222) — differs from the training path.
+  * retraction: poses[t0:t1] <- exp(dx) ∘ pose; disps[kx] += dz; final
+    clamp disps >= 0.001 (depth_video.py:226).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..lie import se3
+from . import edge_terms
+from .solver import solve_psd
+
+ALPHA = 0.05  # depth-sensor prior weight (droid_kernels.cu:1405)
+_SCHUR_CHUNK = 8
+
+
+class BAShape(NamedTuple):
+    """Static bucket sizes — the jit compile key."""
+    edges: int
+    window: int  # NW: padded size of the contiguous pose/depth window
+    rmax: int    # max Schur rows per depth frame
+    iters: int
+    motion_only: bool = False
+
+
+class BAPlan(NamedTuple):
+    """Host-built index plan (device arrays with static shapes)."""
+    ii: jnp.ndarray          # [E] global source frames (padded)
+    jj: jnp.ndarray          # [E] global target frames
+    edge_valid: jnp.ndarray  # [E] bool
+    k_valid: jnp.ndarray     # [NW] bool — window frame is a depth variable
+    row_pose: jnp.ndarray    # [NW+E] solve-local pose of each Schur row (-1 none)
+    row_depth: jnp.ndarray   # [NW+E] window-local depth frame of each row
+    rk_idx: jnp.ndarray      # [NW, RMAX] row ids grouped by depth frame (-1 pad)
+    g0: jnp.ndarray          # scalar: window start frame
+    t0: jnp.ndarray          # scalar: first free pose
+    t1: jnp.ndarray          # scalar: end of free poses
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"size {n} exceeds largest bucket {buckets[-1]}")
+
+
+EDGE_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+WINDOW_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+RMAX_BUCKETS = (8, 16, 32, 64, 128)
+
+
+def build_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
+               iters: int = 2, motion_only: bool = False):
+    """Build (BAShape, BAPlan) from a concrete edge list on the host.
+
+    O(E) python/numpy; runs whenever the edge set changes (cheap next to the
+    device work, and the resulting plan is reused across GN iterations).
+    """
+    ii = np.asarray(ii, np.int64)
+    jj = np.asarray(jj, np.int64)
+    n_edges = len(ii)
+    g0 = int(min(ii.min(), jj.min(), t0)) if n_edges else int(t0)
+    nw = t1 - g0
+    E = _bucket(max(n_edges, 1), EDGE_BUCKETS)
+    NW = _bucket(nw, WINDOW_BUCKETS)
+
+    ii_p = np.zeros(E, np.int32)
+    jj_p = np.zeros(E, np.int32)
+    ii_p[:n_edges] = ii
+    jj_p[:n_edges] = jj
+    # padded edges point at the window start (any in-range frame works; they
+    # carry zero weight via edge_valid)
+    ii_p[n_edges:] = g0
+    jj_p[n_edges:] = g0
+    edge_valid = np.zeros(E, bool)
+    edge_valid[:n_edges] = True
+
+    # depth variables: kx = unique(ii ∪ [t0,t1)) (droid_kernels.cu:1345-1353)
+    kx = set(range(t0, t1)) | set(int(x) for x in ii)
+    k_valid = np.zeros(NW, bool)
+    for k in kx:
+        if g0 <= k < g0 + NW:
+            k_valid[k - g0] = True
+
+    # Schur rows: NW per-frame Eii rows then E per-edge Eij rows
+    NR = NW + E
+    row_pose = np.full(NR, -1, np.int32)
+    row_depth = np.zeros(NR, np.int32)
+    for r in range(NW):
+        f = g0 + r
+        row_depth[r] = r
+        if t0 <= f < t1:
+            row_pose[r] = f - t0
+    for e in range(n_edges):
+        row_depth[NW + e] = ii_p[e] - g0
+        if t0 <= jj_p[e] < t1:
+            row_pose[NW + e] = jj_p[e] - t0
+
+    # group rows by depth frame (only rows with a valid pose contribute)
+    groups = [[] for _ in range(NW)]
+    for r in range(NR):
+        if row_pose[r] >= 0 and (r < NW or edge_valid[r - NW]):
+            groups[row_depth[r]].append(r)
+    rmax = max((len(g) for g in groups), default=1)
+    RMAX = _bucket(max(rmax, 1), RMAX_BUCKETS)
+    rk_idx = np.full((NW, RMAX), -1, np.int32)
+    for k, g in enumerate(groups):
+        rk_idx[k, :len(g)] = g
+
+    shape = BAShape(edges=E, window=NW, rmax=RMAX, iters=iters,
+                    motion_only=motion_only)
+    plan = BAPlan(
+        ii=jnp.asarray(ii_p), jj=jnp.asarray(jj_p),
+        edge_valid=jnp.asarray(edge_valid), k_valid=jnp.asarray(k_valid),
+        row_pose=jnp.asarray(row_pose), row_depth=jnp.asarray(row_depth),
+        rk_idx=jnp.asarray(rk_idx),
+        g0=jnp.asarray(g0, jnp.int32), t0=jnp.asarray(t0, jnp.int32),
+        t1=jnp.asarray(t1, jnp.int32))
+    return shape, plan
+
+
+def _scatter_pose_mat(blocks, pi, pj, NW, n_free):
+    valid = (pi >= 0) & (pj >= 0) & (pi < n_free) & (pj < n_free)
+    idx = jnp.where(valid, pi * NW + pj, NW * NW)
+    out = jax.ops.segment_sum(
+        blocks * valid[:, None, None].astype(blocks.dtype), idx,
+        num_segments=NW * NW + 1)
+    return out[:-1].reshape(NW, NW, 6, 6)
+
+
+def _scatter_pose_vec(vecs, pi, NW, n_free):
+    valid = (pi >= 0) & (pi < n_free)
+    idx = jnp.where(valid, pi, NW)
+    out = jax.ops.segment_sum(vecs * valid[:, None].astype(vecs.dtype), idx,
+                              num_segments=NW + 1)
+    return out[:-1]
+
+
+@partial(jax.jit, static_argnames=("shape",), donate_argnames=("poses", "disps"))
+def ba_windowed(shape: BAShape, poses, disps, disps_sens, damping, intrinsics,
+                target, weight, plan: BAPlan, lm, ep):
+    """Run `shape.iters` Gauss-Newton iterations; returns (poses, disps).
+
+    poses [B,7], disps/disps_sens/damping [B,h,w] are full (padded) keyframe
+    buffers; target/weight [E,2,HW]; intrinsics [4] shared across frames
+    (depth_video.py:222 passes intrinsics[0]).
+    """
+    B, h, w = disps.shape
+    NW, E, RMAX = shape.window, shape.edges, shape.rmax
+    hw = h * w
+    win = plan.g0 + jnp.arange(NW)          # global frames of the window
+    pwin = plan.t0 + jnp.arange(NW)         # global frames of the solve block
+    n_free = plan.t1 - plan.t0
+    p_valid = jnp.arange(NW) < n_free
+
+    intr_all = jnp.broadcast_to(intrinsics, (B, 4))
+
+    # per-frame damping eta = 0.2 * damping + 1e-7 (factor_graph.py:251)
+    eta = 0.2 * damping[win].reshape(NW, hw) + 1e-7
+    sens_w = disps_sens[win].reshape(NW, hw)
+    m_sens = (sens_w > 0).astype(jnp.float32)
+
+    def gn_iteration(state, _):
+        poses, disps = state
+        t = edge_terms.linearize(
+            poses, disps, intr_all, target, weight, plan.ii, plan.jj,
+            edge_valid=plan.edge_valid, min_depth=0.25, zero_stereo_pose=True)
+        Hii, Hij, Hji, Hjj, vi, vj = edge_terms.pose_blocks(t)
+
+        pi = plan.ii - plan.t0
+        pj = plan.jj - plan.t0
+        A = (_scatter_pose_mat(Hii, pi, pi, NW, n_free)
+             + _scatter_pose_mat(Hij, pi, pj, NW, n_free)
+             + _scatter_pose_mat(Hji, pj, pi, NW, n_free)
+             + _scatter_pose_mat(Hjj, pj, pj, NW, n_free))
+        v = _scatter_pose_vec(vi, pi, NW, n_free) + \
+            _scatter_pose_vec(vj, pj, NW, n_free)
+
+        if shape.motion_only:
+            M = A.transpose(0, 2, 1, 3).reshape(NW * 6, NW * 6)
+            rhs = v.reshape(NW * 6)
+            dx = _solve_pose_system(M, rhs, p_valid, lm, ep).reshape(NW, 6)
+            new_poses = _retract_poses(poses, pwin, p_valid, dx)
+            return (new_poses, disps), None
+
+        Ei_e, Ej_e, Cz_e, bz_e = edge_terms.depth_blocks(t)
+
+        ki = plan.ii - plan.g0  # window-local depth index (always in range)
+        Cacc = jax.ops.segment_sum(Cz_e, ki, num_segments=NW)
+        wacc = jax.ops.segment_sum(bz_e, ki, num_segments=NW)
+
+        disps_w = disps[win].reshape(NW, hw)
+        C = Cacc + m_sens * ALPHA + (1.0 - m_sens) * eta
+        wz = wacc - m_sens * ALPHA * (disps_w - sens_w)
+        Q = jnp.where(plan.k_valid[:, None] & (C > 0), 1.0 / C,
+                      jnp.zeros_like(C))
+
+        # Schur rows [NW + E, 6, HW]
+        Erows = jnp.concatenate(
+            [jax.ops.segment_sum(Ei_e, ki, num_segments=NW), Ej_e], axis=0)
+        rp = plan.row_pose
+        rp_ok = rp >= 0
+
+        # ---- S = E Q E^T accumulated per depth frame, chunked ------------
+        S = jnp.zeros((NW * NW + 1, 6, 6), jnp.float32)
+        qw = Q * wz
+        for c0 in range(0, NW, _SCHUR_CHUNK):
+            idx = plan.rk_idx[c0:c0 + _SCHUR_CHUNK]          # [CK,RMAX]
+            mask = idx >= 0
+            F = Erows[jnp.clip(idx, 0)] * mask[..., None, None]
+            Fq = F * Q[c0:c0 + _SCHUR_CHUNK, None, None, :]
+            CK = F.shape[0]
+            G = jnp.einsum("kah,kbh->kab",
+                           Fq.reshape(CK, RMAX * 6, hw),
+                           F.reshape(CK, RMAX * 6, hw),
+                           precision="highest")
+            G = G.reshape(CK, RMAX, 6, RMAX, 6).transpose(0, 1, 3, 2, 4)
+            p = jnp.where(mask, rp[jnp.clip(idx, 0)], -1)    # [CK,RMAX]
+            p1 = p[:, :, None]
+            p2 = p[:, None, :]
+            bins = jnp.where((p1 >= 0) & (p2 >= 0), p1 * NW + p2, NW * NW)
+            S = S + jax.ops.segment_sum(
+                G.reshape(CK * RMAX * RMAX, 6, 6),
+                bins.reshape(-1), num_segments=NW * NW + 1)
+        S = S[:-1].reshape(NW, NW, 6, 6)
+
+        # ---- S_rhs = E Q w per pose --------------------------------------
+        dwr = jnp.einsum("rdh,rh->rd", Erows, qw[plan.row_depth],
+                         precision="highest")
+        S_rhs = _scatter_pose_vec(dwr * rp_ok[:, None], rp, NW, n_free)
+
+        M = (A - S).transpose(0, 2, 1, 3).reshape(NW * 6, NW * 6)
+        rhs = (v - S_rhs).reshape(NW * 6)
+        dx = _solve_pose_system(M, rhs, p_valid, lm, ep).reshape(NW, 6)
+
+        # ---- back-substitute depth updates (EvT + accum, cu:1417-1426) ---
+        dx_row = dx[jnp.clip(rp, 0)] * rp_ok[:, None]
+        dw_rows = jnp.einsum("rdh,rd->rh", Erows, dx_row, precision="highest")
+        acc = jax.ops.segment_sum(dw_rows, plan.row_depth, num_segments=NW)
+        dz = Q * (wz - acc)
+
+        new_poses = _retract_poses(poses, pwin, p_valid, dx)
+        new_disps_w = disps_w + dz
+        new_disps = disps.at[win].set(
+            jnp.where(plan.k_valid[:, None], new_disps_w, disps_w)
+            .reshape(NW, h, w))
+        return (new_poses, new_disps), None
+
+    (poses, disps), _ = jax.lax.scan(gn_iteration, (poses, disps), None,
+                                     length=shape.iters)
+    if not shape.motion_only:
+        # final clamp (depth_video.py:226)
+        win_clamped = jnp.clip(disps[win], min=0.001)
+        disps = disps.at[win].set(win_clamped)
+    return poses, disps
+
+
+def _solve_pose_system(M, rhs, p_valid, lm, ep):
+    """Damp diag AFTER Schur subtraction (droid_kernels.cu:1201-1222), mask
+    padding rows/cols to identity, solve with fp32 Cholesky + refinement."""
+    NW6 = M.shape[0]
+    mask = jnp.repeat(p_valid, 6)
+    d = jnp.diag(M)
+    M = M + jnp.diag(ep + lm * d)
+    mm = mask[:, None] & mask[None, :]
+    M = jnp.where(mm, M, jnp.zeros_like(M))
+    M = M + jnp.diag(jnp.where(mask, jnp.zeros(NW6, M.dtype),
+                               jnp.ones(NW6, M.dtype)))
+    rhs = jnp.where(mask, rhs, jnp.zeros_like(rhs))
+    return solve_psd(M, rhs, refine_steps=1)
+
+
+def _retract_poses(poses, pwin, p_valid, dx):
+    cur = poses[pwin]
+    upd = se3.retr(cur, dx)
+    return poses.at[pwin].set(jnp.where(p_valid[:, None], upd, cur))

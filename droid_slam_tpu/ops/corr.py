@@ -1,0 +1,193 @@
+"""Correlation volumes and pyramid lookup (XLA path).
+
+Rebuild of the reference's two correlation kernels:
+  * CorrBlock: precomputed all-pairs volume + 4-level avg-pool pyramid with a
+    (2r+1)^2 bilinear window gather
+    (/root/reference/droid_slam/modules/corr.py:23-71,
+     /root/reference/src/correlation_kernels.cu:21-71).
+  * AltCorr: on-the-fly per-edge patch dot products from feature-map pyramids,
+    avoiding the O(N*HW^2) volume for global BA
+    (modules/corr.py:89-117, src/altcorr_kernel.cu:24-171).
+
+Both reduce to the same math: bilinear sampling (zero padding) of the
+correlation field on a (2r+1)^2 window around the warped coordinates, with
+1/16 normalization (1/4 per feature map). Output channels are ordered
+level-major, then x-offset-major, y-offset-minor — the concatenation order the
+update operator was trained with (modules/corr.py:46-50, altcorr permute at
+src/altcorr_kernel.cu:171).
+
+The volume build is a single big MXU matmul; the window gather is one XLA
+gather per level (Pallas variant in ops/corr_pallas.py for the hot path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NUM_LEVELS = 4
+RADIUS = 3
+
+
+def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average pooling on the last two spatial dims [..., H, W]."""
+    h, w = x.shape[-2] // 2, x.shape[-1] // 2
+    x = x.reshape(x.shape[:-2] + (h, 2, w, 2))
+    return x.mean(axis=(-3, -1))
+
+
+def build_volume(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs correlation [E,h1*w1,h2,w2] = (f1/4)·(f2/4) over channels
+    (modules/corr.py:63-71). fmaps are [E,h,w,C] (NHWC, bf16 ok)."""
+    E, h1, w1, C = fmap1.shape
+    h2, w2 = fmap2.shape[1:3]
+    corr = jnp.einsum("eac,ebc->eab",
+                      fmap1.reshape(E, h1 * w1, C).astype(jnp.float32) / 4.0,
+                      fmap2.reshape(E, h2 * w2, C).astype(jnp.float32) / 4.0,
+                      preferred_element_type=jnp.float32)
+    return corr.reshape(E, h1 * w1, h2, w2)
+
+
+def build_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                  num_levels: int = NUM_LEVELS):
+    """Volume pyramid list [[E,HW,h2/2^l,w2/2^l], ...]."""
+    vol = build_volume(fmap1, fmap2)
+    pyramid = [vol]
+    for _ in range(num_levels - 1):
+        vol = avg_pool2(vol)
+        pyramid.append(vol)
+    return pyramid
+
+
+def _lookup_level(vol: jnp.ndarray, coords: jnp.ndarray, radius: int):
+    """Bilinear (2r+1)^2 window gather from one pyramid level.
+
+    vol [E,HW,h2,w2]; coords [E,HW,2] at this level's scale.
+    Returns [E,HW,(2r+1)^2] ordered x-offset-major.
+    """
+    E, HW, h2, w2 = vol.shape
+    r = radius
+    rd = 2 * r + 1
+    volf = vol.reshape(E, HW, h2 * w2)
+
+    x0 = jnp.floor(coords[..., 0])
+    y0 = jnp.floor(coords[..., 1])
+    dx = (coords[..., 0] - x0)[..., None]  # [E,HW,1]
+    dy = (coords[..., 1] - y0)[..., None]
+
+    # integer tap grid (rd+1)^2: taps (i,j) at (x0 - r + i, y0 - r + j)
+    ti = jnp.arange(rd + 1, dtype=vol.dtype)
+    xi = x0[..., None, None] - r + ti[None, None, :, None]  # [E,HW,rd+1,1]
+    yj = y0[..., None, None] - r + ti[None, None, None, :]  # [E,HW,1,rd+1]
+    xi = jnp.broadcast_to(xi, x0.shape + (rd + 1, rd + 1))
+    yj = jnp.broadcast_to(yj, y0.shape + (rd + 1, rd + 1))
+    inb = (xi >= 0) & (xi < w2) & (yj >= 0) & (yj < h2)
+    idx = (jnp.clip(yj, 0, h2 - 1) * w2 + jnp.clip(xi, 0, w2 - 1)).astype(jnp.int32)
+
+    taps = jnp.take_along_axis(volf, idx.reshape(E, HW, -1), axis=-1)
+    taps = (taps * inb.reshape(E, HW, -1).astype(taps.dtype)) \
+        .reshape(E, HW, rd + 1, rd + 1)
+
+    # fold the 4-corner bilinear weights into the window (cu:48-67):
+    # out[a,b] = (1-dx)(1-dy) taps[a,b] + dx(1-dy) taps[a+1,b]
+    #          + (1-dx)dy taps[a,b+1] + dx dy taps[a+1,b+1]
+    out = ((1 - dx) * (1 - dy))[..., None] * taps[:, :, :rd, :rd] \
+        + (dx * (1 - dy))[..., None] * taps[:, :, 1:, :rd] \
+        + ((1 - dx) * dy)[..., None] * taps[:, :, :rd, 1:] \
+        + (dx * dy)[..., None] * taps[:, :, 1:, 1:]
+    return out.reshape(E, HW, rd * rd)
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def lookup_pyramid(pyramid, coords: jnp.ndarray, radius: int = RADIUS):
+    """Sample all levels at level-0 coords [E,h,w,2] -> [E,h,w,L*(2r+1)^2]."""
+    E, h, w, _ = coords.shape
+    cflat = coords.reshape(E, h * w, 2)
+    outs = []
+    for lvl, vol in enumerate(pyramid):
+        outs.append(_lookup_level(vol, cflat / (2.0 ** lvl), radius))
+    out = jnp.concatenate(outs, axis=-1)
+    return out.reshape(E, h, w, -1)
+
+
+# ---------------------------------------------------------------------------
+# AltCorr: on-the-fly correlation from feature pyramids (global BA path)
+# ---------------------------------------------------------------------------
+
+def build_fmap_pyramid(fmaps: jnp.ndarray, num_levels: int = NUM_LEVELS):
+    """fmaps [N,h,w,C] -> list of [N,h/2^l,w/2^l,C]."""
+    pyr = [fmaps]
+    x = fmaps
+    for _ in range(num_levels - 1):
+        x = avg_pool2(x.transpose(0, 3, 1, 2)).transpose(0, 2, 3, 1)
+        pyr.append(x)
+    return pyr
+
+
+def _alt_level(f1: jnp.ndarray, f2l: jnp.ndarray, coords: jnp.ndarray,
+               jj: jnp.ndarray, radius: int):
+    """One level of altcorr: f1 [E,HW,C] (level-0 source features of edges),
+    f2l [N,hl,wl,C], coords [E,HW,2] at this level's scale.
+
+    Computes integer-offset dot products on the (2r+2)^2 grid then blends
+    bilinearly to (2r+1)^2 (altcorr_kernel.cu:24-75,160-171).
+    """
+    E, HW, C = f1.shape
+    N, hl, wl, _ = f2l.shape
+    r = radius
+    D = 2 * r + 2
+    f2flat = f2l.reshape(N, hl * wl, C)
+
+    x0 = jnp.floor(coords[..., 0])
+    y0 = jnp.floor(coords[..., 1])
+    dx = coords[..., 0] - x0
+    dy = coords[..., 1] - y0
+
+    corr_int = []
+    for di in range(D):          # y offset index (cu:60)
+        row = []
+        for dj in range(D):      # x offset index
+            xi = x0 + (dj - r)
+            yi = y0 + (di - r)
+            inb = (xi >= 0) & (xi < wl) & (yi >= 0) & (yi < hl)
+            idx = (jnp.clip(yi, 0, hl - 1) * wl
+                   + jnp.clip(xi, 0, wl - 1)).astype(jnp.int32)
+            f2g = jnp.take_along_axis(
+                f2flat[jj], idx[..., None], axis=1)  # [E,HW,C]
+            dot = jnp.einsum("ehc,ehc->eh", f1, f2g,
+                             preferred_element_type=jnp.float32) / 16.0
+            row.append(dot * inb.astype(dot.dtype))
+        corr_int.append(jnp.stack(row, axis=-1))
+    corr_int = jnp.stack(corr_int, axis=-2)  # [E,HW,D(y),D(x)]
+
+    w00 = ((1 - dx) * (1 - dy))[..., None, None]
+    w10 = (dx * (1 - dy))[..., None, None]
+    w01 = ((1 - dx) * dy)[..., None, None]
+    w11 = (dx * dy)[..., None, None]
+    rd = 2 * r + 1
+    out = (w00 * corr_int[..., :rd, :rd] + w10 * corr_int[..., :rd, 1:]
+           + w01 * corr_int[..., 1:, :rd] + w11 * corr_int[..., 1:, 1:])
+    # [E,HW,rd(y),rd(x)] -> x-major ordering (altcorr permute, cu:171)
+    return out.transpose(0, 1, 3, 2).reshape(E, HW, rd * rd)
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def alt_lookup(fmap_pyramid, coords: jnp.ndarray, ii: jnp.ndarray,
+               jj: jnp.ndarray, radius: int = RADIUS):
+    """AltCorrBlock.__call__ (modules/corr.py:104-117): correlation features
+    for edges (ii -> jj) computed from the feature pyramid directly.
+
+    fmap_pyramid: list of [N,h/2^l,w/2^l,C]; coords [E,h,w,2] level-0.
+    Returns [E,h,w,L*(2r+1)^2].
+    """
+    E, h, w, _ = coords.shape
+    C = fmap_pyramid[0].shape[-1]
+    f1 = fmap_pyramid[0][ii].reshape(E, h * w, C).astype(jnp.float32)
+    cflat = coords.reshape(E, h * w, 2)
+    outs = []
+    for lvl, f2l in enumerate(fmap_pyramid):
+        outs.append(_alt_level(f1, f2l.astype(jnp.float32),
+                               cflat / (2.0 ** lvl), jj, radius))
+    return jnp.concatenate(outs, axis=-1).reshape(E, h, w, -1)

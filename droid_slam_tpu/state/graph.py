@@ -1,0 +1,485 @@
+"""FactorGraph: the dynamic covisibility graph, recast for static-shape XLA.
+
+TPU re-architecture of /root/reference/droid_slam/factor_graph.py. The
+reference concatenates/slices CUDA tensors as edges come and go; under XLA
+that would recompile constantly. Instead:
+
+  * edge bookkeeping (ii/jj/age, dedup, NMS edge proposal, eviction) lives on
+    the host in numpy — tiny O(t^2) work;
+  * per-edge device state (GRU hidden, target, weight, and the correlation
+    pyramid) lives in slot-stable padded buffers; adding/removing edges only
+    changes *index arrays*, never array shapes;
+  * the per-iteration compute (reproject -> corr lookup -> ConvGRU -> DBA) is
+    a handful of jitted static-shape programs keyed by bucket sizes.
+
+Edge proposal logic (add_neighborhood_factors, add_proximity_factors with
+greedy NMS suppression) reproduces factor_graph.py:332-412 exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geom import projective as pops
+from ..models import nets
+from ..ops import corr as corr_ops
+from .video import DepthVideo, _pad_to
+
+
+def _bucket(n, buckets):
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"{n} exceeds buckets {buckets}")
+
+
+ACTIVE_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256)
+WINDOW_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+# ---------------------------------------------------------------------------
+# jitted cores
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nw",))
+def _update_core(params, poses, disps, intrinsics, inps_buf, pyramid, nets_e,
+                 target, weight, slots, ii, jj, valid, g0, nw: int):
+    """One GRU+heads iteration over the active edges (factor_graph.py:215-238).
+
+    pyramid: tuple of [EB, HW, hl, wl] slot-addressed corr volumes.
+    nets_e/target/weight: [EB,...] slot-addressed edge state.
+    slots/ii/jj/valid: [EA] active-edge views.
+    Returns per-active-edge (net, target, weight, coords1) + per-window-frame
+    (eta [nw,h,w], upmask [nw,h,w,576]).
+    """
+    EA = slots.shape[0]
+    h, w = disps.shape[-2:]
+    hw = h * w
+
+    coords1, _, _ = pops.projective_transform(poses, disps, intrinsics, ii, jj)
+    coords0 = pops.coords_grid(h, w)
+    resd = target[slots].reshape(EA, 2, hw).transpose(0, 2, 1).reshape(
+        EA, h, w, 2) - coords1
+    motn = jnp.concatenate([coords1 - coords0, resd], axis=-1)
+    motn = jnp.clip(motn, -64.0, 64.0)
+
+    # correlation lookup with slot indexing fused into the gather
+    cflat = coords1.reshape(EA, hw, 2)
+    outs = []
+    for lvl, vol in enumerate(pyramid):
+        outs.append(_lookup_slots(vol, slots, cflat / (2.0 ** lvl),
+                                  corr_ops.RADIUS))
+    corr = jnp.concatenate(outs, axis=-1).reshape(EA, h, w, -1)
+
+    cdt = jnp.bfloat16
+    net, delta, weight_new, eta, upmask = nets.update_module(
+        params, nets_e[slots].astype(cdt), inps_buf[ii].astype(cdt),
+        corr.astype(cdt), motn.astype(cdt),
+        ii=jnp.clip(ii - g0, 0, nw - 1), num_frames=nw)
+
+    target_new = coords1 + delta.astype(jnp.float32)
+    target_new = target_new.reshape(EA, hw, 2).transpose(0, 2, 1)
+    weight_new = weight_new.astype(jnp.float32)
+    weight_new = weight_new.reshape(EA, hw, 2).transpose(0, 2, 1)
+    vm = valid[:, None, None].astype(jnp.float32)
+    return (net, target_new * vm, weight_new * vm, eta.astype(jnp.float32),
+            upmask, coords1)
+
+
+def _lookup_slots(vol, slots, coords, radius):
+    """corr window gather with the edge->slot indirection folded in.
+
+    vol [EB,HW,h2,w2]; slots [EA]; coords [EA,HW,2] at this level's scale.
+    """
+    EB, HW, h2, w2 = vol.shape
+    EA = slots.shape[0]
+    r = radius
+    rd = 2 * r + 1
+
+    x0 = jnp.floor(coords[..., 0])
+    y0 = jnp.floor(coords[..., 1])
+    dx = (coords[..., 0] - x0)[..., None]
+    dy = (coords[..., 1] - y0)[..., None]
+
+    ti = jnp.arange(rd + 1, dtype=coords.dtype)
+    xi = jnp.broadcast_to(x0[..., None, None] - r + ti[None, None, :, None],
+                          x0.shape + (rd + 1, rd + 1))
+    yj = jnp.broadcast_to(y0[..., None, None] - r + ti[None, None, None, :],
+                          y0.shape + (rd + 1, rd + 1))
+    inb = (xi >= 0) & (xi < w2) & (yj >= 0) & (yj < h2)
+    idx = (jnp.clip(yj, 0, h2 - 1) * w2 + jnp.clip(xi, 0, w2 - 1)).astype(jnp.int32)
+
+    volf = vol.reshape(EB, HW, h2 * w2)
+    taps = volf[slots[:, None, None],
+                jnp.arange(HW)[None, :, None],
+                idx.reshape(EA, HW, -1)]
+    taps = (taps.astype(jnp.float32)
+            * inb.reshape(EA, HW, -1).astype(jnp.float32))
+    taps = taps.reshape(EA, HW, rd + 1, rd + 1)
+
+    out = ((1 - dx) * (1 - dy))[..., None] * taps[:, :, :rd, :rd] \
+        + (dx * (1 - dy))[..., None] * taps[:, :, 1:, :rd] \
+        + ((1 - dx) * dy)[..., None] * taps[:, :, :rd, 1:] \
+        + (dx * dy)[..., None] * taps[:, :, 1:, 1:]
+    return out.reshape(EA, HW, rd * rd)
+
+
+@jax.jit
+def _build_edge_volumes(fmap1, fmap2):
+    """4-level corr pyramid for a batch of new edges (modules/corr.py:23-38)."""
+    pyr = corr_ops.build_pyramid(fmap1, fmap2, corr_ops.NUM_LEVELS)
+    return tuple(p.astype(jnp.bfloat16) for p in pyr)
+
+
+@partial(jax.jit, donate_argnames=("bufs",))
+def _scatter_rows(bufs, idx, values):
+    """Write `values[k]` to `bufs[idx[k]]` for each buffer (idx may contain
+    out-of-range sentinels, which XLA drops)."""
+    return tuple(b.at[idx].set(v.astype(b.dtype)) for b, v in
+                 zip(bufs, values))
+
+
+# ---------------------------------------------------------------------------
+
+
+class FactorGraph:
+    def __init__(self, video: DepthVideo, params, max_factors: int = -1,
+                 corr_impl: str = "volume", upsample: bool = False,
+                 capacity: int = 128, inactive_capacity: int = 128):
+        self.video = video
+        self.params = params
+        self.max_factors = max_factors
+        self.corr_impl = corr_impl
+        self.upsample = upsample
+
+        self.h, self.w = video.h, video.w
+        hw = self.h * self.w
+
+        # host bookkeeping: per-edge (slot, i, j, age); order = reference order
+        self.edges: list[list] = []          # [slot, i, j, age]
+        self.free = list(range(capacity))
+        self.capacity = capacity
+
+        self.ii_inac = np.zeros(0, np.int64)
+        self.jj_inac = np.zeros(0, np.int64)
+        self.inac_slots = np.zeros(0, np.int64)
+        self.inac_free = list(range(inactive_capacity))
+        self.ii_bad = np.zeros(0, np.int64)
+        self.jj_bad = np.zeros(0, np.int64)
+
+        # device slot-stable state
+        self.net = jnp.zeros((capacity, self.h, self.w, 128), jnp.bfloat16)
+        self.target = jnp.zeros((capacity, 2, hw), jnp.float32)
+        self.weight = jnp.zeros((capacity, 2, hw), jnp.float32)
+        self.target_inac = jnp.zeros((inactive_capacity, 2, hw), jnp.float32)
+        self.weight_inac = jnp.zeros((inactive_capacity, 2, hw), jnp.float32)
+
+        if corr_impl == "volume":
+            h2, w2 = self.h, self.w
+            self.pyramid = tuple(
+                jnp.zeros((capacity, hw, h2 // 2 ** l, w2 // 2 ** l),
+                          jnp.bfloat16) for l in range(corr_ops.NUM_LEVELS))
+        else:
+            self.pyramid = None
+
+    # ------------------------------------------------------------------
+    @property
+    def ii(self):
+        return np.array([e[1] for e in self.edges], np.int64)
+
+    @property
+    def jj(self):
+        return np.array([e[2] for e in self.edges], np.int64)
+
+    @property
+    def age(self):
+        return np.array([e[3] for e in self.edges], np.int64)
+
+    def _slots(self):
+        return np.array([e[0] for e in self.edges], np.int64)
+
+    # ------------------------------------------------------------------
+    # add / remove (factor_graph.py:99-212)
+    # ------------------------------------------------------------------
+
+    def add_factors(self, ii, jj, remove: bool = False):
+        ii = np.asarray(ii, np.int64).reshape(-1)
+        jj = np.asarray(jj, np.int64).reshape(-1)
+
+        # dedup vs active and inactive (factor_graph.py:52-68)
+        existing = {(e[1], e[2]) for e in self.edges}
+        existing |= set(zip(self.ii_inac.tolist(), self.jj_inac.tolist()))
+        keep = [k for k in range(len(ii)) if (ii[k], jj[k]) not in existing
+                and (ii[k], jj[k]) not in set(zip(ii[:k], jj[:k]))]
+        ii, jj = ii[keep], jj[keep]
+        if len(ii) == 0:
+            return
+
+        # cap on active factors: evict oldest (factor_graph.py:114-123)
+        if (self.max_factors > 0 and len(self.edges) + len(ii) > self.max_factors
+                and remove and self.edges):
+            order = np.argsort(self.age, kind="stable")
+            n_keep = max(self.max_factors - len(ii), 0)
+            evict = set(order[n_keep:].tolist())
+            self.rm_factors(np.array([k in evict for k in
+                                      range(len(self.edges))]), store=True)
+
+        while len(self.free) < len(ii):
+            self._grow()
+
+        slots = np.array([self.free.pop(0) for _ in ii], np.int64)
+        ii_d, jj_d = jnp.asarray(ii), jnp.asarray(jj)
+
+        # initial target = current reprojection, weight = 0 (fg.py:138-140)
+        coords, _ = self.video.reproject(ii_d, jj_d)
+        hw = self.h * self.w
+        target0 = coords.reshape(len(ii), hw, 2).transpose(0, 2, 1)
+        net0 = self.video.buf.nets[ii_d]
+        sl = jnp.asarray(slots)
+        self.net, self.target, self.weight = _scatter_rows(
+            (self.net, self.target, self.weight), sl,
+            (net0, target0, jnp.zeros_like(target0)))
+
+        if self.corr_impl == "volume":
+            c = (ii == jj).astype(np.int64)  # stereo edges use right view
+            f1 = self.video.buf.fmaps[ii_d, 0]
+            f2 = self.video.buf.fmaps[jj_d, jnp.asarray(c)]
+            vols = _build_edge_volumes(f1, f2)
+            self.pyramid = _scatter_rows(self.pyramid, sl, vols)
+
+        for k in range(len(ii)):
+            self.edges.append([int(slots[k]), int(ii[k]), int(jj[k]), 0])
+
+    def _grow(self):
+        """Double the active-edge capacity (slot-stable)."""
+        old = self.capacity
+        new = _bucket(old + 1, ACTIVE_BUCKETS + (512, 1024, 2048))
+        pad = new - old
+
+        def grow(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+        self.net, self.target, self.weight = map(
+            grow, (self.net, self.target, self.weight))
+        if self.pyramid is not None:
+            self.pyramid = tuple(map(grow, self.pyramid))
+        self.free.extend(range(old, new))
+        self.capacity = new
+
+    def rm_factors(self, mask, store: bool = False):
+        """factor_graph.py:154-178."""
+        mask = np.asarray(mask, bool)
+        removed = [e for e, m in zip(self.edges, mask) if m]
+        self.edges = [e for e, m in zip(self.edges, mask) if not m]
+        if not removed:
+            return
+        slots = np.array([e[0] for e in removed], np.int64)
+        if store:
+            while len(self.inac_free) < len(removed):
+                self._grow_inactive()
+            islots = np.array([self.inac_free.pop(0) for _ in removed],
+                              np.int64)
+            src = jnp.asarray(slots)
+            dst = jnp.asarray(islots)
+            self.target_inac, self.weight_inac = _scatter_rows(
+                (self.target_inac, self.weight_inac), dst,
+                (self.target[src], self.weight[src]))
+            self.ii_inac = np.concatenate(
+                [self.ii_inac, [e[1] for e in removed]]).astype(np.int64)
+            self.jj_inac = np.concatenate(
+                [self.jj_inac, [e[2] for e in removed]]).astype(np.int64)
+            self.inac_slots = np.concatenate([self.inac_slots, islots])
+        self.free.extend(slots.tolist())
+
+    def _grow_inactive(self):
+        old = self.target_inac.shape[0]
+        pad = old  # double
+
+        def grow(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+        self.target_inac = grow(self.target_inac)
+        self.weight_inac = grow(self.weight_inac)
+        self.inac_free.extend(range(old, old + pad))
+
+    def rm_keyframe(self, ix: int):
+        """factor_graph.py:182-212: shift video buffers down and reindex."""
+        self.video.rm_keyframe(ix)
+
+        m = (self.ii_inac == ix) | (self.jj_inac == ix)
+        self.ii_inac = np.where(self.ii_inac >= ix, self.ii_inac - 1,
+                                self.ii_inac)
+        self.jj_inac = np.where(self.jj_inac >= ix, self.jj_inac - 1,
+                                self.jj_inac)
+        if m.any():
+            self.inac_free.extend(self.inac_slots[m].tolist())
+            self.ii_inac = self.ii_inac[~m]
+            self.jj_inac = self.jj_inac[~m]
+            self.inac_slots = self.inac_slots[~m]
+
+        drop = np.zeros(len(self.edges), bool)
+        for k, e in enumerate(self.edges):
+            if e[1] == ix or e[2] == ix:
+                drop[k] = True
+            if e[1] >= ix:
+                e[1] -= 1
+            if e[2] >= ix:
+                e[2] -= 1
+        self.rm_factors(drop, store=False)
+
+    def filter_edges(self):
+        """Remove low-confidence long-range edges (factor_graph.py:84-91)."""
+        if not self.edges:
+            return
+        slots = jnp.asarray(self._slots())
+        conf = np.asarray(jnp.mean(self.weight[slots], axis=(1, 2)))
+        ii, jj = self.ii, self.jj
+        mask = (np.abs(ii - jj) > 2) & (conf < 0.001)
+        self.ii_bad = np.concatenate([self.ii_bad, ii[mask]])
+        self.jj_bad = np.concatenate([self.jj_bad, jj[mask]])
+        self.rm_factors(mask, store=False)
+
+    def clear_edges(self):
+        self.rm_factors(np.ones(len(self.edges), bool), store=False)
+
+    # ------------------------------------------------------------------
+    # update operator + DBA (factor_graph.py:215-263)
+    # ------------------------------------------------------------------
+
+    def update(self, t0=None, t1=None, itrs=2, use_inactive=False, EP=1e-7,
+               motion_only=False):
+        if not self.edges:
+            return
+        ii, jj = self.ii, self.jj
+        slots = self._slots()
+        EA = _bucket(len(ii), ACTIVE_BUCKETS)
+
+        if t0 is None:
+            t0 = max(1, int(ii.min()) + 1)
+        if t1 is None:
+            t1 = int(max(ii.max(), jj.max())) + 1
+
+        g0 = int(min(ii.min(), jj.min(), t0 - 1))
+        nw = _bucket(t1 - g0, WINDOW_BUCKETS)
+
+        def pad_idx(x, fill):
+            out = np.full(EA, fill, np.int64)
+            out[:len(x)] = x
+            return jnp.asarray(out)
+
+        valid = jnp.asarray(np.arange(EA) < len(ii))
+        buf = self.video.buf
+        net, target, weight, eta, upmask, _ = _update_core(
+            self.params, buf.poses, buf.disps, buf.intrinsics, buf.inps,
+            self.pyramid, self.net, self.target, self.weight,
+            pad_idx(slots, self.capacity), pad_idx(ii, 0), pad_idx(jj, 0),
+            valid, jnp.asarray(g0), nw)
+
+        sl = jnp.asarray(np.concatenate(
+            [slots, np.full(EA - len(slots), self.capacity + 1)]))
+        self.net, self.target, self.weight = _scatter_rows(
+            (self.net, self.target, self.weight), sl, (net, target, weight))
+
+        # per-frame damping for frames present in ii (factor_graph.py:238)
+        uframes = np.unique(ii)
+        self.video.update_damping(jnp.asarray(uframes),
+                                  eta[jnp.asarray(uframes - g0)])
+
+        if self.upsample:
+            um = upmask[jnp.asarray(uframes - g0)]
+            disps_up = nets.upsample_disp(
+                self.video.buf.disps[jnp.asarray(uframes)], um)
+            self.video.set_disps_up(jnp.asarray(uframes), disps_up)
+
+        # assemble the BA edge set (active + eligible inactive, fg.py:240-248)
+        if use_inactive and len(self.ii_inac):
+            m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+            ii_ba = np.concatenate([self.ii_inac[m], ii])
+            jj_ba = np.concatenate([self.jj_inac[m], jj])
+            tgt = jnp.concatenate(
+                [self.target_inac[jnp.asarray(self.inac_slots[m])],
+                 self.target[jnp.asarray(slots)]], axis=0)
+            wgt = jnp.concatenate(
+                [self.weight_inac[jnp.asarray(self.inac_slots[m])],
+                 self.weight[jnp.asarray(slots)]], axis=0)
+        else:
+            ii_ba, jj_ba = ii, jj
+            tgt = self.target[jnp.asarray(slots)]
+            wgt = self.weight[jnp.asarray(slots)]
+
+        self.video.ba(tgt, wgt, ii_ba, jj_ba, t0=t0, t1=t1, itrs=itrs,
+                      lm=1e-4, ep=0.1, motion_only=motion_only)
+
+        for e in self.edges:
+            e[3] += 1
+
+    # ------------------------------------------------------------------
+    # edge proposers (factor_graph.py:332-412)
+    # ------------------------------------------------------------------
+
+    def add_neighborhood_factors(self, t0, t1, r=3):
+        ii, jj = np.meshgrid(np.arange(t0, t1), np.arange(t0, t1),
+                             indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+        c = 1 if self.video.stereo else 0
+        keep = (np.abs(ii - jj) > c) & (np.abs(ii - jj) <= r)
+        self.add_factors(ii[keep], jj[keep])
+
+    def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
+                              thresh=16.0, remove=False):
+        t = self.video.counter
+        ix = np.arange(t0, t)
+        jx = np.arange(t1, t)
+        if len(ix) == 0 or len(jx) == 0:
+            return
+        ii, jj = np.meshgrid(ix, jx, indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+
+        d = np.asarray(self.video.distance(ii, jj, beta=beta)).astype(np.float64)
+        d[ii - rad < jj] = np.inf
+        d[d > 100] = np.inf
+
+        def suppress(i, j):
+            n = max(min(abs(i - j) - 2, nms), 0)
+            for di in range(-nms, nms + 1):
+                for dj in range(-nms, nms + 1):
+                    if abs(di) + abs(dj) <= n:
+                        i1, j1 = i + di, j + dj
+                        if t0 <= i1 < t and t1 <= j1 < t:
+                            d[(i1 - t0) * (t - t1) + (j1 - t1)] = np.inf
+
+        ii1 = np.concatenate([self.ii, self.ii_bad, self.ii_inac])
+        jj1 = np.concatenate([self.jj, self.jj_bad, self.jj_inac])
+        for i, j in zip(ii1, jj1):
+            suppress(int(i), int(j))
+
+        es = []
+        for i in range(t0, t):
+            if self.video.stereo:
+                es.append((i, i))
+                d[(i - t0) * (t - t1) + (i - t1)] = np.inf
+            for j in range(max(i - rad - 1, 0), i):
+                es.append((i, j))
+                es.append((j, i))
+                if t1 <= j < t:
+                    d[(i - t0) * (t - t1) + (j - t1)] = np.inf
+
+        for k in np.argsort(d, kind="stable"):
+            if d[k] > thresh:
+                continue
+            if self.max_factors > 0 and len(es) > self.max_factors:
+                break
+            i, j = int(ii[k]), int(jj[k])
+            es.append((i, j))
+            es.append((j, i))
+            suppress(i, j)
+
+        if es:
+            es = np.asarray(es, np.int64)
+            self.add_factors(es[:, 0], es[:, 1], remove)

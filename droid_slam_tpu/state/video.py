@@ -1,0 +1,242 @@
+"""DepthVideo: fixed-capacity keyframe state buffers on device.
+
+TPU recast of /root/reference/droid_slam/depth_video.py. The reference keeps
+shared-memory CUDA tensors mutated in place under a multiprocessing lock; here
+the state is a pytree of device arrays updated functionally through jitted
+static-shape kernels (XLA donates buffers, so updates are in-place on device).
+The keyframe counter and cross-thread coordination live on the host (threads
+share the Python object; a threading.Lock guards counter mutations, mirroring
+the mp.Value lock of the reference).
+
+Buffers (capacity B, feature resolution h=ht//8, w=wd//8):
+  tstamp [B]          poses [B,7] (w2c, [t,q])   disps [B,h,w] (inverse depth)
+  disps_sens [B,h,w]  disps_up [B,ht,wd]         intrinsics [B,4] (1/8 scale)
+  fmaps [B,c,h,w,128] bf16   nets/inps [B,h,w,128] bf16
+  damping [B,h,w] (per-pixel BA damping, factor_graph.py:38)
+
+Layout note: feature maps are NHWC (channel-last) for MXU-friendly convs; the
+reference uses NCHW fp16 (depth_video.py:36-38).
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geom import distance as gdist
+from ..geom import projective as pops
+from ..lie import se3
+from ..ba import inference as ba_inf
+
+
+class VideoBuffers(NamedTuple):
+    tstamp: jnp.ndarray
+    poses: jnp.ndarray
+    disps: jnp.ndarray
+    disps_sens: jnp.ndarray
+    disps_up: jnp.ndarray
+    intrinsics: jnp.ndarray
+    fmaps: jnp.ndarray
+    nets: jnp.ndarray
+    inps: jnp.ndarray
+    damping: jnp.ndarray
+
+
+@partial(jax.jit, donate_argnames=("buf",))
+def _shift_down(buf: VideoBuffers, ix, t):
+    """Remove keyframe ix by shifting [ix+1, t) down one slot
+    (factor_graph.py:182-196)."""
+    B = buf.poses.shape[0]
+    ar = jnp.arange(B)
+    src = jnp.where((ar >= ix) & (ar < t - 1), ar + 1, ar)
+
+    def shift(x):
+        return x[src]
+
+    return VideoBuffers(*[shift(x) for x in buf])
+
+
+@partial(jax.jit, donate_argnames=("buf",))
+def _normalize(buf: VideoBuffers, t):
+    """Rescale mean disparity to 1 (depth_video.py:161-168)."""
+    B = buf.disps.shape[0]
+    mask = (jnp.arange(B) < t)[:, None, None]
+    s = jnp.sum(buf.disps * mask) / (jnp.sum(mask) * buf.disps.shape[1]
+                                     * buf.disps.shape[2])
+    disps = jnp.where(mask, buf.disps / s, buf.disps)
+    poses = buf.poses.at[:, :3].multiply(
+        jnp.where(jnp.arange(B)[:, None] < t, s, 1.0))
+    return buf._replace(disps=disps, poses=poses)
+
+
+class DepthVideo:
+    """Host wrapper owning the device buffers + keyframe counter."""
+
+    def __init__(self, image_size=(480, 640), buffer: int = 512,
+                 stereo: bool = False, device=None):
+        ht, wd = image_size
+        self.ht, self.wd = ht, wd
+        self.h, self.w = ht // 8, wd // 8
+        self.buffer = buffer
+        self.stereo = stereo
+        c = 2 if stereo else 1
+
+        h, w = self.h, self.w
+        f32, bf16 = jnp.float32, jnp.bfloat16
+        self.buf = VideoBuffers(
+            tstamp=jnp.zeros((buffer,), f32),
+            poses=jnp.broadcast_to(se3.identity((), f32),
+                                   (buffer, 7)).copy(),
+            disps=jnp.ones((buffer, h, w), f32),
+            disps_sens=jnp.zeros((buffer, h, w), f32),
+            disps_up=jnp.zeros((buffer, ht, wd), f32),
+            intrinsics=jnp.zeros((buffer, 4), f32),
+            fmaps=jnp.zeros((buffer, c, h, w, 128), bf16),
+            nets=jnp.zeros((buffer, h, w, 128), bf16),
+            inps=jnp.zeros((buffer, h, w, 128), bf16),
+            damping=1e-6 * jnp.ones((buffer, h, w), f32),
+        )
+        self.counter = 0
+        self.ready = False
+        self.dirty = np.zeros(buffer, bool)
+        self.images = [None] * buffer  # host-side (vis / export only)
+        self._lock = threading.RLock()
+
+    def get_lock(self):
+        return self._lock
+
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
+
+    def append(self, tstamp, image=None, pose=None, disp=None, depth=None,
+               intrinsics=None, fmap=None, net=None, inp=None):
+        with self._lock:
+            self.set_frame(self.counter, tstamp, image, pose, disp, depth,
+                           intrinsics, fmap, net, inp)
+            self.counter += 1
+
+    def set_frame(self, index, tstamp, image=None, pose=None, disp=None,
+                  depth=None, intrinsics=None, fmap=None, net=None, inp=None):
+        """depth_video.py:78-109 semantics; `depth` is a full-res depth map
+        subsampled [3::8, 3::8] to inverse depth."""
+        b = self.buf
+        b = b._replace(tstamp=b.tstamp.at[index].set(tstamp))
+        if image is not None:
+            self.images[index] = np.asarray(image)
+        if pose is not None:
+            b = b._replace(poses=b.poses.at[index].set(jnp.asarray(pose)))
+        if disp is not None:
+            d = jnp.broadcast_to(jnp.asarray(disp, jnp.float32),
+                                 (self.h, self.w))
+            b = b._replace(disps=b.disps.at[index].set(d))
+        if depth is not None:
+            dep = jnp.asarray(depth, jnp.float32)[3::8, 3::8]
+            ds = jnp.where(dep > 0, 1.0 / jnp.where(dep > 0, dep, 1.0), 0.0)
+            b = b._replace(disps_sens=b.disps_sens.at[index].set(ds))
+        if intrinsics is not None:
+            b = b._replace(intrinsics=b.intrinsics.at[index].set(
+                jnp.asarray(intrinsics, jnp.float32)))
+        if fmap is not None:
+            b = b._replace(fmaps=b.fmaps.at[index].set(
+                jnp.asarray(fmap, jnp.bfloat16)))
+        if net is not None:
+            b = b._replace(nets=b.nets.at[index].set(
+                jnp.asarray(net, jnp.bfloat16)))
+        if inp is not None:
+            b = b._replace(inps=b.inps.at[index].set(
+                jnp.asarray(inp, jnp.bfloat16)))
+        self.buf = b
+        if index >= self.counter:
+            self.counter = index + 1
+        self.dirty[index] = True
+
+    def rm_keyframe(self, ix: int):
+        with self._lock:
+            self.buf = _shift_down(self.buf, jnp.asarray(ix),
+                                   jnp.asarray(self.counter))
+
+    def normalize(self):
+        """Mono scale normalization at backend entry (depth_video.py:161-168)."""
+        with self._lock:
+            self.buf = _normalize(self.buf, jnp.asarray(self.counter))
+            self.dirty[:self.counter] = True
+
+    # ------------------------------------------------------------------
+    # geometric ops
+    # ------------------------------------------------------------------
+
+    def reproject(self, ii, jj):
+        """depth_video.py:171-179."""
+        ii = jnp.asarray(ii); jj = jnp.asarray(jj)
+        coords, valid, _ = pops.projective_transform(
+            self.buf.poses, self.buf.disps, self.buf.intrinsics, ii, jj)
+        return coords, valid
+
+    def distance(self, ii, jj, beta=0.3, bidirectional=True):
+        """depth_video.py:181-211."""
+        ii = jnp.asarray(np.atleast_1d(np.asarray(ii)))
+        jj = jnp.asarray(np.atleast_1d(np.asarray(jj)))
+        return gdist.frame_distance_jit(
+            self.buf.poses, self.buf.disps, self.buf.intrinsics[0], ii, jj,
+            beta, bidirectional=bidirectional)
+
+    def distance_matrix(self, beta=0.3):
+        """All-pairs distance over current keyframes (returns [t,t] numpy)."""
+        t = self.counter
+        ii, jj = np.meshgrid(np.arange(t), np.arange(t), indexing="ij")
+        d = self.distance(ii.reshape(-1), jj.reshape(-1), beta=beta)
+        return np.asarray(d).reshape(t, t)
+
+    def ba(self, target, weight, ii, jj, t0=1, t1=None, itrs=2, lm=1e-4,
+           ep=0.1, motion_only=False):
+        """Dense bundle adjustment over the given edge set
+        (depth_video.py:213-226). target/weight are [E,2,HW] device arrays
+        aligned with ii/jj (may include padding; pass edge lists unpadded)."""
+        if t1 is None:
+            t1 = int(max(ii.max(), jj.max())) + 1
+        shape, plan = ba_inf.build_plan(np.asarray(ii), np.asarray(jj),
+                                        int(t0), int(t1), iters=itrs,
+                                        motion_only=motion_only)
+        E = shape.edges
+        tgt = _pad_to(target, E)
+        wgt = _pad_to(weight, E)
+        with self._lock:
+            poses, disps = ba_inf.ba_windowed(
+                shape, self.buf.poses, self.buf.disps, self.buf.disps_sens,
+                self.buf.damping, self.buf.intrinsics[0], tgt, wgt, plan,
+                lm, ep)
+            self.buf = self.buf._replace(poses=poses, disps=disps)
+
+    def update_damping(self, frames, eta):
+        """Scatter per-frame damping maps (factor_graph.py:238)."""
+        idx = jnp.asarray(frames)
+        self.buf = self.buf._replace(
+            damping=self.buf.damping.at[idx].set(eta.astype(jnp.float32)))
+
+    def set_disps_up(self, frames, disps_up):
+        idx = jnp.asarray(frames)
+        self.buf = self.buf._replace(
+            disps_up=self.buf.disps_up.at[idx].set(disps_up))
+
+    # convenience accessors -------------------------------------------------
+    @property
+    def poses(self):
+        return self.buf.poses
+
+    @property
+    def disps(self):
+        return self.buf.disps
+
+
+def _pad_to(x, n):
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x[:n]
+    return jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
