@@ -32,8 +32,10 @@ RADIUS = 3
 
 
 def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2 average pooling on the last two spatial dims [..., H, W]."""
+    """2x2/stride-2 average pooling on the last two dims [..., H, W] with
+    torch's floor semantics (odd trailing row/col dropped)."""
     h, w = x.shape[-2] // 2, x.shape[-1] // 2
+    x = x[..., :2 * h, :2 * w]
     x = x.reshape(x.shape[:-2] + (h, 2, w, 2))
     return x.mean(axis=(-3, -1))
 

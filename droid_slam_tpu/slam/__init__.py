@@ -1,1 +1,4 @@
-"""slam subpackage."""
+"""SLAM orchestration: motion filter, frontend, backend, trajectory filler,
+Droid facade."""
+
+from .droid import Droid  # noqa: F401

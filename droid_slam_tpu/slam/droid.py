@@ -1,0 +1,60 @@
+"""Droid facade: the user-facing SLAM system.
+
+Parity with /root/reference/droid_slam/droid.py:16-86:
+  droid = Droid(config); droid.track(t, image, depth, intrinsics) per frame;
+  traj = droid.terminate(stream)  ->  [T,7] numpy, camera-to-world [t,q].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from ..config import DroidConfig
+from ..lie import se3
+from ..models import nets, weights as weights_io
+from ..state.video import DepthVideo
+from .backend import DroidBackend
+from .frontend import DroidFrontend
+from .motion_filter import MotionFilter
+from .trajectory_filler import PoseTrajectoryFiller
+
+
+class Droid:
+    def __init__(self, config: DroidConfig):
+        self.config = config
+        self.params = self._load_params(config.weights)
+
+        self.video = DepthVideo(config.image_size, config.buffer,
+                                stereo=config.stereo)
+        self.filterx = MotionFilter(self.params, self.video,
+                                    thresh=config.filter_thresh)
+        self.frontend = DroidFrontend(self.params, self.video, config)
+        self.backend = DroidBackend(self.params, self.video, config)
+        self.traj_filler = PoseTrajectoryFiller(self.params, self.video)
+
+    @staticmethod
+    def _load_params(weights_path):
+        if weights_path:
+            return weights_io.load(weights_path)
+        return nets.init_params(jax.random.PRNGKey(0))
+
+    def track(self, tstamp, image, depth=None, intrinsics=None):
+        """droid.py:61-69."""
+        self.filterx.track(tstamp, image, depth, intrinsics)
+        self.frontend()
+
+    def terminate(self, stream=None, backend_steps=(7, 12)):
+        """droid.py:71-86: final global BA passes + trajectory fill.
+        Returns the *inverse* (camera-to-world) poses as [T,7] numpy."""
+        del self.frontend
+
+        for steps in backend_steps:
+            self.backend(steps)
+
+        if stream is not None:
+            traj = self.traj_filler(stream)
+        else:
+            traj = np.asarray(self.video.buf.poses[:self.video.counter])
+        return np.asarray(se3.inv(se3.normalize(
+            jax.numpy.asarray(traj))))

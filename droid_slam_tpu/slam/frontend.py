@@ -1,0 +1,143 @@
+"""DroidFrontend: local sliding-window tracking.
+
+Parity with /root/reference/droid_slam/droid_frontend.py:13-164 — warmup
+initialization (neighborhood + proximity edges, 2x8 update iterations),
+steady-state updates (age-based eviction, proximity edges, iters1 updates,
+keyframe-removal test, iters2 updates), and the damped-velocity motion model
+for the next frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..lie import se3
+from ..state.graph import FactorGraph
+
+
+class DroidFrontend:
+    def __init__(self, params, video, args):
+        self.video = video
+        self.graph = FactorGraph(video, params, max_factors=48,
+                                 upsample=getattr(args, "upsample", False))
+
+        self.t0 = 0
+        self.t1 = 0
+        self.is_initialized = False
+        self.count = 0
+
+        self.max_age = 20
+        self.iters1 = 3
+        self.iters2 = 2
+
+        self.warmup = args.warmup
+        self.beta = args.beta
+        self.frontend_nms = args.frontend_nms
+        self.keyframe_thresh = args.keyframe_thresh
+        self.frontend_window = args.frontend_window
+        self.frontend_thresh = args.frontend_thresh
+        self.frontend_radius = args.frontend_radius
+        self.depth_window = 3
+        self.motion_damping = getattr(args, "motion_damping", 0.0)
+
+    # ------------------------------------------------------------------
+
+    def _init_next_state(self):
+        """Motion model for the next incoming frame
+        (droid_frontend.py:49-63)."""
+        v = self.video
+        buf = v.buf
+        t1 = self.t1
+        poses = buf.poses
+        new_pose = poses[t1 - 1]
+
+        disp_med = jnp.quantile(buf.disps[t1 - 3:t1 - 1], 0.5)
+
+        if self.motion_damping >= 0:
+            vel = se3.log(se3.mul(poses[t1 - 1], se3.inv(poses[t1 - 2])))
+            new_pose = se3.mul(se3.exp(self.motion_damping * vel),
+                               poses[t1 - 1])
+
+        v.buf = buf._replace(
+            poses=poses.at[t1].set(new_pose),
+            disps=buf.disps.at[t1].set(disp_med))
+
+    def _update(self):
+        """droid_frontend.py:65-117."""
+        self.count += 1
+        self.t1 += 1
+
+        if self.graph.edges:
+            self.graph.rm_factors(self.graph.age > self.max_age, store=True)
+
+        self.graph.add_proximity_factors(
+            self.t1 - 5, max(self.t1 - self.frontend_window, 0),
+            rad=self.frontend_radius, nms=self.frontend_nms,
+            thresh=self.frontend_thresh, beta=self.beta, remove=True)
+
+        # RGB-D: overwrite disparity where the sensor is valid (fe.py:84-88)
+        buf = self.video.buf
+        sens = buf.disps_sens[self.t1 - 1]
+        self.video.buf = buf._replace(disps=buf.disps.at[self.t1 - 1].set(
+            jnp.where(sens > 0, sens, buf.disps[self.t1 - 1])))
+
+        for _ in range(self.iters1):
+            self.graph.update(None, None, use_inactive=True)
+
+        d = float(self.video.distance([self.t1 - 4], [self.t1 - 2],
+                                      beta=self.beta)[0])
+
+        if d < 2 * self.keyframe_thresh:
+            self.graph.rm_keyframe(self.t1 - 3)
+            with self.video.get_lock():
+                self.video.counter -= 1
+                self.t1 -= 1
+        else:
+            for _ in range(self.iters2):
+                self.graph.update(None, None, use_inactive=True)
+
+        buf = self.video.buf
+        self.video.buf = buf._replace(
+            poses=buf.poses.at[self.t1].set(buf.poses[self.t1 - 1]),
+            disps=buf.disps.at[self.t1].set(jnp.quantile(
+                buf.disps[self.t1 - self.depth_window - 1:self.t1 - 1], 0.7)))
+
+        self.video.dirty[int(self.graph.ii.min()):self.t1] = True
+
+    def _initialize(self):
+        """droid_frontend.py:119-151."""
+        self.t0 = 0
+        self.t1 = self.video.counter
+
+        self.graph.add_neighborhood_factors(self.t0, self.t1, r=3)
+        for _ in range(8):
+            self.graph.update(1, use_inactive=True)
+
+        self.graph.add_proximity_factors(0, 0, rad=2, nms=2,
+                                         thresh=self.frontend_thresh,
+                                         remove=False)
+        for _ in range(8):
+            self.graph.update(1, use_inactive=True)
+
+        buf = self.video.buf
+        self.video.buf = buf._replace(
+            poses=buf.poses.at[self.t1].set(buf.poses[self.t1 - 1]),
+            disps=buf.disps.at[self.t1].set(
+                buf.disps[self.t1 - 4:self.t1].mean()))
+
+        self.is_initialized = True
+        with self.video.get_lock():
+            self.video.ready = True
+            self.video.dirty[:self.t1] = True
+
+        self.graph.rm_factors(self.graph.ii < self.warmup - 4, store=True)
+
+    def __call__(self):
+        """droid_frontend.py:153-164."""
+        if not self.is_initialized and self.video.counter == self.warmup:
+            self._initialize()
+            self._init_next_state()
+        elif self.is_initialized and self.t1 < self.video.counter:
+            self._update()
+            self._init_next_state()

@@ -128,6 +128,41 @@ def _lookup_slots(vol, slots, coords, radius):
     return out.reshape(EA, HW, rd * rd)
 
 
+@partial(jax.jit, static_argnames=("nw",))
+def _lowmem_chunk_core(params, poses, disps, intrinsics, inps_buf, fpyr,
+                       nets_e, target, slots, ii, jj, ii_rows, jj_rows,
+                       valid, g0, nw: int):
+    """One GRU iteration on a source-frame chunk of edges using on-the-fly
+    correlation (factor_graph.py:285-307). fpyr: tuple of flattened
+    [B*c, hl, wl, 128] feature pyramids."""
+    EA = slots.shape[0]
+    h, w = disps.shape[-2:]
+    hw = h * w
+
+    coords1, _, _ = pops.projective_transform(poses, disps, intrinsics, ii, jj)
+    coords0 = pops.coords_grid(h, w)
+    resd = target[slots].reshape(EA, 2, hw).transpose(0, 2, 1).reshape(
+        EA, h, w, 2) - coords1
+    motn = jnp.clip(jnp.concatenate([coords1 - coords0, resd], axis=-1),
+                    -64.0, 64.0)
+
+    corr = corr_ops.alt_lookup(fpyr, coords1, ii_rows, jj_rows)
+
+    cdt = jnp.bfloat16
+    net, delta, weight_new, eta, upmask = nets.update_module(
+        params, nets_e[slots].astype(cdt), inps_buf[ii].astype(cdt),
+        corr.astype(cdt), motn.astype(cdt),
+        ii=jnp.clip(ii - g0, 0, nw - 1), num_frames=nw)
+
+    target_new = (coords1 + delta.astype(jnp.float32)) \
+        .reshape(EA, hw, 2).transpose(0, 2, 1)
+    weight_new = weight_new.astype(jnp.float32) \
+        .reshape(EA, hw, 2).transpose(0, 2, 1)
+    vm = valid[:, None, None].astype(jnp.float32)
+    return (net, target_new * vm, weight_new * vm, eta.astype(jnp.float32),
+            upmask)
+
+
 @jax.jit
 def _build_edge_volumes(fmap1, fmap2):
     """4-level corr pyramid for a batch of new edges (modules/corr.py:23-38)."""
@@ -418,6 +453,86 @@ class FactorGraph:
 
         for e in self.edges:
             e[3] += 1
+
+    # ------------------------------------------------------------------
+    # reduced-memory global update (factor_graph.py:267-330)
+    # ------------------------------------------------------------------
+
+    def update_lowmem(self, t0=None, t1=None, itrs=2, use_inactive=False,
+                      EP=1e-7, steps=8):
+        """Global BA loop with on-the-fly (alt) correlation, chunked over
+        groups of 8 source frames to bound the GRU working set."""
+        t = self.video.counter
+        buf = self.video.buf
+        B, c = buf.fmaps.shape[:2]
+        # flatten the rig dim: frame n, camera k -> row n*c + k
+        fpyr = corr_ops.build_fmap_pyramid(
+            buf.fmaps.reshape(B * c, self.h, self.w, 128))
+
+        for _ in range(steps):
+            ii, jj = self.ii, self.jj
+            slots = self._slots()
+            i_min, i_max = int(ii.min()), int(jj.max())
+
+            for i in range(i_min, i_max + 1, 8):
+                v = np.nonzero((ii >= i) & (ii < i + 8))[0]
+                if len(v) == 0:
+                    continue
+                EA = _bucket(len(v), ACTIVE_BUCKETS)
+
+                def pad(x, fill=0):
+                    out = np.full(EA, fill, np.int64)
+                    out[:len(v)] = x[v]
+                    return jnp.asarray(out)
+
+                valid = jnp.asarray(np.arange(EA) < len(v))
+                jj_rows = jj * c + (ii == jj).astype(np.int64)
+                ii_rows = ii * c
+
+                net, target, weight, eta, upmask = _lowmem_chunk_core(
+                    self.params, buf.poses, buf.disps, buf.intrinsics,
+                    buf.inps, fpyr, self.net, self.target,
+                    pad(slots, self.capacity), pad(ii), pad(jj),
+                    pad(ii_rows), pad(jj_rows), valid, jnp.asarray(i), 8)
+
+                sl = jnp.asarray(np.concatenate(
+                    [slots[v], np.full(EA - len(v), self.capacity + 1)]))
+                self.net, self.target, self.weight = _scatter_rows(
+                    (self.net, self.target, self.weight), sl,
+                    (net, target, weight))
+
+                uframes = np.unique(ii[v])
+                self.video.update_damping(jnp.asarray(uframes),
+                                          eta[jnp.asarray(uframes - i)])
+                if self.upsample:
+                    um = upmask[jnp.asarray(uframes - i)]
+                    disps_up = nets.upsample_disp(
+                        buf.disps[jnp.asarray(uframes)], um)
+                    self.video.set_disps_up(jnp.asarray(uframes), disps_up)
+                buf = self.video.buf
+
+            # one DBA over all edges (fg.py:311-328)
+            if use_inactive and len(self.ii_inac):
+                ii_ba = np.concatenate([self.ii_inac, ii])
+                jj_ba = np.concatenate([self.jj_inac, jj])
+                tgt = jnp.concatenate(
+                    [self.target_inac[jnp.asarray(self.inac_slots)],
+                     self.target[jnp.asarray(slots)]], axis=0)
+                wgt = jnp.concatenate(
+                    [self.weight_inac[jnp.asarray(self.inac_slots)],
+                     self.weight[jnp.asarray(slots)]], axis=0)
+            else:
+                ii_ba, jj_ba = ii, jj
+                tgt = self.target[jnp.asarray(slots)]
+                wgt = self.weight[jnp.asarray(slots)]
+
+            for e in self.edges:
+                e[3] += 1
+
+            self.video.ba(tgt, wgt, ii_ba, jj_ba, t0=1, t1=t, itrs=itrs,
+                          lm=1e-5, ep=1e-2, motion_only=False)
+            buf = self.video.buf
+            self.video.dirty[:t] = True
 
     # ------------------------------------------------------------------
     # edge proposers (factor_graph.py:332-412)

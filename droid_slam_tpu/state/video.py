@@ -119,7 +119,6 @@ class DepthVideo:
         with self._lock:
             self.set_frame(self.counter, tstamp, image, pose, disp, depth,
                            intrinsics, fmap, net, inp)
-            self.counter += 1
 
     def set_frame(self, index, tstamp, image=None, pose=None, disp=None,
                   depth=None, intrinsics=None, fmap=None, net=None, inp=None):
