@@ -31,12 +31,14 @@ def conv2d(params: dict, name: str, x: jnp.ndarray, stride: int = 1,
         padding = [(p_h, p_h), (p_w, p_w)]
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
                                         ("NHWC", "HWIO", "NHWC"))
+    # NOTE: no preferred_element_type here — the MXU accumulates fp32
+    # internally for bf16 convs, and mixed-dtype outputs break the conv VJP.
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=padding,
-        dimension_numbers=dn, preferred_element_type=jnp.float32)
+        dimension_numbers=dn)
     b = params.get(name + ".bias")
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(y.dtype)
     return y.astype(x.dtype)
 
 

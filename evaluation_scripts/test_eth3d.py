@@ -1,0 +1,51 @@
+"""ETH3D-SLAM RGB-D evaluation (parity with
+/root/reference/evaluation_scripts/test_eth3d.py): depth-sensor tracking,
+no scale correction in the ATE."""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from droid_slam_tpu.config import PRESETS
+from droid_slam_tpu.data.stream import eth3d_stream, eth3d_timestamps
+from droid_slam_tpu.eval.ate import evaluate_ate
+from droid_slam_tpu.slam import Droid
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--datapath", required=True)
+    parser.add_argument("--weights", default=None)
+    parser.add_argument("--backend_steps", type=int, nargs="+",
+                        default=[7, 12])
+    args = parser.parse_args()
+
+    import dataclasses
+    frames = list(eth3d_stream(args.datapath, use_depth=True))
+    h, w = frames[0][1].shape[:2]
+    cfg = dataclasses.replace(PRESETS["eth3d"], depth=True,
+                              image_size=(h, w), weights=args.weights)
+    droid = Droid(cfg)
+    for (t, image, depth, intrinsics) in frames:
+        droid.track(t, image, depth=depth, intrinsics=intrinsics)
+
+    traj_est = droid.terminate(
+        iter([(t, im, intr) for (t, im, _, intr) in frames]),
+        backend_steps=tuple(args.backend_steps))
+
+    gt_file = os.path.join(args.datapath, "groundtruth.txt")
+    gt = np.loadtxt(gt_file, skiprows=1)
+    tstamps = eth3d_timestamps(args.datapath)
+    result = evaluate_ate(traj_est[:, :3], gt[:, 1:4],
+                          t_est=tstamps[:len(traj_est)], t_ref=gt[:, 0],
+                          scale=False, max_dt=0.02)  # RGB-D: metric scale
+    print(f"ATE RMSE: {result['ate_rmse']:.4f} m "
+          f"({result['n_matches']} matches)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Training CLI: data-parallel DroidNet training on TartanAir.
+
+Parity with /root/reference/train.py (flags at train.py:147-170), re-expressed
+for a TPU device mesh: the DDP/NCCL loop becomes one jitted shard_map step
+with psum-averaged gradients over the 'dp' mesh axis.
+"""
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+
+def collate(samples, edges_ii, edges_jj):
+    import jax.numpy as jnp
+    from droid_slam_tpu.lie import se3
+
+    images = np.stack([s[0] for s in samples])  # [B,N,H,W,3] BGR f32
+    poses_c2w = np.stack([s[1] for s in samples])
+    disps = np.stack([s[2] for s in samples])
+    intrinsics = np.stack([s[3] for s in samples])
+    # Ps = w2c (train.py:83)
+    Ps = np.asarray(se3.inv(jnp.asarray(poses_c2w)))
+    return {
+        "images": images.astype(np.uint8),
+        "poses": Ps.astype(np.float32),
+        "disps": disps.astype(np.float32),
+        "intrinsics": intrinsics.astype(np.float32),
+        "ii": np.asarray(edges_ii),
+        "jj": np.asarray(edges_jj),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--name", default="droid_tpu")
+    parser.add_argument("--ckpt", help="checkpoint to restore")
+    parser.add_argument("--datasets", nargs="+", default=["tartan"])
+    parser.add_argument("--datapath", default="datasets/TartanAir")
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--iters", type=int, default=15)
+    parser.add_argument("--steps", type=int, default=250000)
+    parser.add_argument("--lr", type=float, default=0.00025)
+    parser.add_argument("--clip", type=float, default=2.5)
+    parser.add_argument("--n_frames", type=int, default=7)
+    parser.add_argument("--w1", type=float, default=10.0)
+    parser.add_argument("--w2", type=float, default=0.01)
+    parser.add_argument("--w3", type=float, default=0.05)
+    parser.add_argument("--fmin", type=float, default=8.0)
+    parser.add_argument("--fmax", type=float, default=96.0)
+    parser.add_argument("--edges", type=int, default=24)
+    parser.add_argument("--restart_prob", type=float, default=0.2)
+    parser.add_argument("--devices", type=int, default=None)
+    args = parser.parse_args()
+
+    import jax
+    from droid_slam_tpu.data.graph_utils import (build_frame_graph,
+                                                 graph_to_edge_list)
+    from droid_slam_tpu.data.tartan import TartanAir
+    from droid_slam_tpu.models import weights as weights_io
+    from droid_slam_tpu.parallel.mesh import (data_parallel_mesh, replicate,
+                                              shard_batch)
+    from droid_slam_tpu.train.logger import Logger
+    from droid_slam_tpu.train.trainer import (TrainConfig, init_train_state,
+                                              make_train_step)
+
+    cfg = TrainConfig(lr=args.lr, steps=args.steps, iters=args.iters,
+                      clip=args.clip, n_frames=args.n_frames, w1=args.w1,
+                      w2=args.w2, w3=args.w3, edges=args.edges,
+                      restart_prob=args.restart_prob, fmin=args.fmin,
+                      fmax=args.fmax)
+
+    mesh = data_parallel_mesh(args.devices)
+    params = weights_io.load(args.ckpt) if args.ckpt else None
+    params, opt_state = init_train_state(cfg, params=params)
+    step_fn, _ = make_train_step(mesh, cfg)
+    params = replicate(mesh, params)
+    opt_state = replicate(mesh, opt_state)
+
+    db = TartanAir(datapath=args.datapath, n_frames=args.n_frames,
+                   fmin=args.fmin, fmax=args.fmax)
+    rng = np.random.default_rng(12345)
+    logger = Logger(args.name)
+    os.makedirs("checkpoints", exist_ok=True)
+
+    N = args.n_frames
+    total_steps = 0
+    while total_steps < args.steps:
+        idx = rng.integers(0, len(db), size=args.batch)
+        samples = [db[int(i)] for i in idx]
+
+        # randomize frame graph (train.py:86-94) — shared across the batch so
+        # edge lists stay static per step
+        if rng.random() < 0.5:
+            s0 = samples[0]
+            graph = build_frame_graph(s0[1], s0[2], s0[3], num=args.edges)
+        else:
+            graph = {i: [j for j in range(N) if i != j and abs(i - j) <= 2]
+                     for i in range(N)}
+        ii, jj, _ = graph_to_edge_list(graph)
+
+        batch = collate(samples, ii, jj)
+        sb = shard_batch(mesh, {k: batch[k] for k in
+                                ("images", "poses", "disps", "intrinsics")})
+        sb["ii"] = replicate(mesh, batch["ii"])
+        sb["jj"] = replicate(mesh, batch["jj"])
+
+        params, opt_state, metrics = step_fn(params, opt_state, sb)
+        logger.push({k: float(v) for k, v in metrics.items()})
+        total_steps += 1
+
+        if total_steps % 10000 == 0:
+            weights_io.save_npz(f"checkpoints/{args.name}_{total_steps:06d}"
+                                ".npz", jax.device_get(params))
+
+    weights_io.save_npz(f"checkpoints/{args.name}_final.npz",
+                        jax.device_get(params))
+
+
+if __name__ == "__main__":
+    main()
