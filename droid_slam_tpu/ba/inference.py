@@ -100,6 +100,33 @@ def build_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
     edge_valid = np.zeros(E, bool)
     edge_valid[:n_edges] = True
 
+    row_pose, row_depth, k_valid, rk_idx, RMAX = _build_rows(
+        ii, jj, ii_p, jj_p, edge_valid, n_edges, t0, t1, g0, NW, E)
+
+    shape = BAShape(edges=E, window=NW, rmax=RMAX, iters=iters,
+                    motion_only=motion_only)
+    plan = BAPlan(
+        ii=jnp.asarray(ii_p), jj=jnp.asarray(jj_p),
+        edge_valid=jnp.asarray(edge_valid), k_valid=jnp.asarray(k_valid),
+        row_pose=jnp.asarray(row_pose), row_depth=jnp.asarray(row_depth),
+        rk_idx=jnp.asarray(rk_idx),
+        g0=jnp.asarray(g0, jnp.int32), t0=jnp.asarray(t0, jnp.int32),
+        t1=jnp.asarray(t1, jnp.int32))
+    return shape, plan
+
+
+def _build_rows(ii, jj, ii_p, jj_p, edge_valid, n_edges, t0, t1, g0, NW, E):
+    """Schur row table + per-depth-frame grouping; native C++ fast path
+    (droid_slam_tpu/native/plan_builder.cpp) with a python fallback."""
+    from .. import native
+
+    res = native.build_ba_rows(ii, jj, t0, t1, g0, NW, E, RMAX_BUCKETS[-1])
+    if res is not None:
+        row_pose, row_depth, k_valid, rk_full, rmax = res
+        RMAX = _bucket(max(rmax, 1), RMAX_BUCKETS)
+        return row_pose, row_depth, k_valid, rk_full[:, :RMAX], RMAX
+
+    # ---- python fallback ------------------------------------------------
     # depth variables: kx = unique(ii ∪ [t0,t1)) (droid_kernels.cu:1345-1353)
     kx = set(range(t0, t1)) | set(int(x) for x in ii)
     k_valid = np.zeros(NW, bool)
@@ -107,7 +134,6 @@ def build_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
         if g0 <= k < g0 + NW:
             k_valid[k - g0] = True
 
-    # Schur rows: NW per-frame Eii rows then E per-edge Eij rows
     NR = NW + E
     row_pose = np.full(NR, -1, np.int32)
     row_depth = np.zeros(NR, np.int32)
@@ -121,7 +147,6 @@ def build_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
         if t0 <= jj_p[e] < t1:
             row_pose[NW + e] = jj_p[e] - t0
 
-    # group rows by depth frame (only rows with a valid pose contribute)
     groups = [[] for _ in range(NW)]
     for r in range(NR):
         if row_pose[r] >= 0 and (r < NW or edge_valid[r - NW]):
@@ -131,17 +156,7 @@ def build_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
     rk_idx = np.full((NW, RMAX), -1, np.int32)
     for k, g in enumerate(groups):
         rk_idx[k, :len(g)] = g
-
-    shape = BAShape(edges=E, window=NW, rmax=RMAX, iters=iters,
-                    motion_only=motion_only)
-    plan = BAPlan(
-        ii=jnp.asarray(ii_p), jj=jnp.asarray(jj_p),
-        edge_valid=jnp.asarray(edge_valid), k_valid=jnp.asarray(k_valid),
-        row_pose=jnp.asarray(row_pose), row_depth=jnp.asarray(row_depth),
-        rk_idx=jnp.asarray(rk_idx),
-        g0=jnp.asarray(g0, jnp.int32), t0=jnp.asarray(t0, jnp.int32),
-        t1=jnp.asarray(t1, jnp.int32))
-    return shape, plan
+    return row_pose, row_depth, k_valid, rk_idx, RMAX
 
 
 def _scatter_pose_mat(blocks, pi, pj, NW, n_free):

@@ -557,6 +557,20 @@ class FactorGraph:
         ii, jj = ii.reshape(-1), jj.reshape(-1)
 
         d = np.asarray(self.video.distance(ii, jj, beta=beta)).astype(np.float64)
+
+        # native greedy NMS proposer (droid_slam_tpu/native/plan_builder.cpp)
+        from .. import native
+        ii1 = np.concatenate([self.ii, self.ii_bad, self.ii_inac])
+        jj1 = np.concatenate([self.jj, self.jj_bad, self.jj_inac])
+        es_native = native.proximity_edges(
+            d.copy(), t0, t1, t, rad, nms, thresh, self.max_factors,
+            self.video.stereo, ii1, jj1)
+        if es_native is not None:
+            if len(es_native):
+                self.add_factors(es_native[:, 0], es_native[:, 1], remove)
+            return
+
+        # ---- python fallback (factor_graph.py:346-412) -------------------
         d[ii - rad < jj] = np.inf
         d[d > 100] = np.inf
 
@@ -569,8 +583,6 @@ class FactorGraph:
                         if t0 <= i1 < t and t1 <= j1 < t:
                             d[(i1 - t0) * (t - t1) + (j1 - t1)] = np.inf
 
-        ii1 = np.concatenate([self.ii, self.ii_bad, self.ii_inac])
-        jj1 = np.concatenate([self.jj, self.jj_bad, self.jj_inac])
         for i, j in zip(ii1, jj1):
             suppress(int(i), int(j))
 
