@@ -22,6 +22,92 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import numpy as np  # noqa: E402
 
 
+def bench_parts():
+    """Time the individual jitted stages on device (diagnostic mode)."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from droid_slam_tpu.models import nets
+    from droid_slam_tpu.ops import corr as corr_ops
+    from droid_slam_tpu.ba import inference as ba_inf
+    from droid_slam_tpu.lie import se3
+
+    H, W = 320, 512
+    h, w = H // 8, W // 8
+    hw = h * w
+    params = nets.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+
+    def timeit(name, fn, *args, n=8):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        tic = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        print(f"{name:30s} {(time.perf_counter() - tic) / n * 1000:8.2f} ms")
+        return out
+
+    img = jnp.asarray(rng.integers(0, 255, size=(1, H, W, 3)), jnp.uint8)
+    enc = jax.jit(lambda p, x: nets.extract_features(p, x, jnp.bfloat16))
+    timeit("extract_features", enc, params, img)
+
+    E = 48
+    fm = jnp.asarray(rng.normal(size=(E, h, w, 128)).astype(np.float32) / 8,
+                     jnp.bfloat16)
+    pyr = timeit("corr volume build (48e)",
+                 jax.jit(corr_ops.build_pyramid), fm, fm)
+    coords = jnp.asarray(
+        rng.uniform(0, [w, h], size=(E, h, w, 2)).astype(np.float32))
+    timeit("corr volume lookup (48e)",
+           lambda *a: corr_ops.lookup_pyramid(pyr, coords))
+
+    fpyr = corr_ops.build_fmap_pyramid(
+        jnp.asarray(rng.normal(size=(64, h, w, 128)).astype(np.float32),
+                    jnp.bfloat16))
+    ii = jnp.asarray(rng.integers(0, 64, size=E))
+    jj = jnp.asarray(rng.integers(0, 64, size=E))
+    timeit("altcorr lookup (48e)",
+           lambda *a: corr_ops.alt_lookup(fpyr, coords, ii, jj))
+
+    net = jnp.asarray(rng.normal(size=(E, h, w, 128)), jnp.bfloat16)
+    inp = jnp.asarray(rng.normal(size=(E, h, w, 128)), jnp.bfloat16)
+    cor = jnp.asarray(rng.normal(size=(E, h, w, 196)), jnp.bfloat16)
+    mot = jnp.asarray(rng.normal(size=(E, h, w, 4)), jnp.bfloat16)
+    upd = jax.jit(lambda p, *a: nets.update_module(p, *a, ii=ii % 32,
+                                                   num_frames=32))
+    timeit("update_module (48e)", upd, params, net, inp, cor, mot)
+
+    # windowed BA: 32-frame window, 96 edges, 2 GN iters
+    B = 64
+    ii_np = rng.integers(1, 30, size=96)
+    jj_np = rng.integers(1, 30, size=96)
+    shape, plan = ba_inf.build_plan(ii_np, jj_np, 2, 30, iters=2)
+    poses = jnp.broadcast_to(se3.identity(), (B, 7)).copy()
+    xi = jnp.asarray(0.01 * rng.normal(size=(B, 6)).astype(np.float32))
+    poses = se3.exp(xi)
+    disps = jnp.ones((B, h, w), jnp.float32)
+    sens = jnp.zeros((B, h, w), jnp.float32)
+    damp = 1e-6 * jnp.ones((B, h, w), jnp.float32)
+    intr = jnp.asarray([320.0, 320.0, w / 2, h / 2])
+    tgt = jnp.asarray(rng.uniform(0, [w], size=(shape.edges, 2, hw))
+                      .astype(np.float32))
+    wgt = jnp.ones((shape.edges, 2, hw), jnp.float32)
+
+    def ba_run(p, d):
+        return ba_inf.ba_windowed(shape, p, d, sens, damp, intr, tgt, wgt,
+                                  plan, 1e-4, 0.1)
+    out = ba_run(poses, disps)
+    jax.block_until_ready(out)
+    tic = time.perf_counter()
+    n = 8
+    for _ in range(n):
+        out = ba_run(*out)
+    jax.block_until_ready(out)
+    print(f"{'ba_windowed 2GN (96e,w32)':30s} "
+          f"{(time.perf_counter() - tic) / n * 1000:8.2f} ms")
+
+
 def main():
     import jax  # noqa: E402
     try:
@@ -73,4 +159,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--parts" in sys.argv:
+        bench_parts()
+    else:
+        main()

@@ -135,12 +135,17 @@ def _alt_level(f1: jnp.ndarray, f2l: jnp.ndarray, coords: jnp.ndarray,
 
     Computes integer-offset dot products on the (2r+2)^2 grid then blends
     bilinearly to (2r+1)^2 (altcorr_kernel.cu:24-75,160-171).
+
+    TPU-native formulation: the feature table is flattened to
+    [N*hl*wl, C=128] so each sampled element is a full 128-lane contiguous
+    row — gathers become efficient row copies rather than scattered scalars.
     """
     E, HW, C = f1.shape
     N, hl, wl, _ = f2l.shape
     r = radius
     D = 2 * r + 2
-    f2flat = f2l.reshape(N, hl * wl, C)
+    f2flat = f2l.reshape(N * hl * wl, C)
+    base = (jj * (hl * wl))[:, None]  # [E,1] flat-row offset of frame jj
 
     x0 = jnp.floor(coords[..., 0])
     y0 = jnp.floor(coords[..., 1])
@@ -154,10 +159,9 @@ def _alt_level(f1: jnp.ndarray, f2l: jnp.ndarray, coords: jnp.ndarray,
             xi = x0 + (dj - r)
             yi = y0 + (di - r)
             inb = (xi >= 0) & (xi < wl) & (yi >= 0) & (yi < hl)
-            idx = (jnp.clip(yi, 0, hl - 1) * wl
-                   + jnp.clip(xi, 0, wl - 1)).astype(jnp.int32)
-            f2g = jnp.take_along_axis(
-                f2flat[jj], idx[..., None], axis=1)  # [E,HW,C]
+            idx = base + (jnp.clip(yi, 0, hl - 1) * wl
+                          + jnp.clip(xi, 0, wl - 1)).astype(jnp.int32)
+            f2g = f2flat[idx]  # [E,HW,C] row gather
             dot = jnp.einsum("ehc,ehc->eh", f1, f2g,
                              preferred_element_type=jnp.float32) / 16.0
             row.append(dot * inb.astype(dot.dtype))

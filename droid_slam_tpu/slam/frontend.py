@@ -9,11 +9,60 @@ for the next frame.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..lie import se3
 from ..state.graph import FactorGraph
+
+
+# jitted state helpers: every frame index is a traced scalar so these
+# compile once, not once per keyframe (recompile control, SURVEY §7.4)
+
+@partial(jax.jit, donate_argnames=("poses", "disps"))
+def _next_state(poses, disps, t1, motion_damping):
+    """Motion model + median-disp init for the incoming frame
+    (droid_frontend.py:49-63)."""
+    win = jax.lax.dynamic_slice_in_dim(disps, t1 - 3, 2, axis=0)
+    disp_med = jnp.quantile(win, 0.5)
+
+    p_prev = poses[t1 - 1]
+    vel = se3.log(se3.mul(p_prev, se3.inv(poses[t1 - 2])))
+    new_pose = se3.mul(se3.exp(motion_damping * vel), p_prev)
+
+    poses = poses.at[t1].set(new_pose)
+    disps = disps.at[t1].set(disp_med)
+    return poses, disps
+
+
+@partial(jax.jit, donate_argnames=("poses", "disps"),
+         static_argnames=("depth_window",))
+def _post_update_state(poses, disps, t1, depth_window):
+    """droid_frontend.py:110-114: copy pose, 0.7-quantile disparity init."""
+    win = jax.lax.dynamic_slice_in_dim(disps, t1 - depth_window - 1,
+                                       depth_window, axis=0)
+    disps = disps.at[t1].set(jnp.quantile(win, 0.7))
+    poses = poses.at[t1].set(poses[t1 - 1])
+    return poses, disps
+
+
+@partial(jax.jit, donate_argnames=("disps",))
+def _sensor_overwrite(disps, disps_sens, t):
+    """droid_frontend.py:84-88."""
+    sens = disps_sens[t]
+    return disps.at[t].set(jnp.where(sens > 0, sens, disps[t]))
+
+
+@partial(jax.jit, donate_argnames=("poses", "disps"))
+def _init_state(poses, disps, t1):
+    """droid_frontend.py:138-139."""
+    win = jax.lax.dynamic_slice_in_dim(disps, t1 - 4, 4, axis=0)
+    disps = disps.at[t1].set(jnp.mean(win))
+    poses = poses.at[t1].set(poses[t1 - 1])
+    return poses, disps
 
 
 class DroidFrontend:
@@ -47,21 +96,11 @@ class DroidFrontend:
         """Motion model for the next incoming frame
         (droid_frontend.py:49-63)."""
         v = self.video
-        buf = v.buf
-        t1 = self.t1
-        poses = buf.poses
-        new_pose = poses[t1 - 1]
-
-        disp_med = jnp.quantile(buf.disps[t1 - 3:t1 - 1], 0.5)
-
-        if self.motion_damping >= 0:
-            vel = se3.log(se3.mul(poses[t1 - 1], se3.inv(poses[t1 - 2])))
-            new_pose = se3.mul(se3.exp(self.motion_damping * vel),
-                               poses[t1 - 1])
-
-        v.buf = buf._replace(
-            poses=poses.at[t1].set(new_pose),
-            disps=buf.disps.at[t1].set(disp_med))
+        damping = self.motion_damping if self.motion_damping >= 0 else 0.0
+        poses, disps = _next_state(v.buf.poses, v.buf.disps,
+                                   jnp.asarray(self.t1),
+                                   jnp.asarray(damping, jnp.float32))
+        v.buf = v.buf._replace(poses=poses, disps=disps)
 
     def _update(self):
         """droid_frontend.py:65-117."""
@@ -78,9 +117,8 @@ class DroidFrontend:
 
         # RGB-D: overwrite disparity where the sensor is valid (fe.py:84-88)
         buf = self.video.buf
-        sens = buf.disps_sens[self.t1 - 1]
-        self.video.buf = buf._replace(disps=buf.disps.at[self.t1 - 1].set(
-            jnp.where(sens > 0, sens, buf.disps[self.t1 - 1])))
+        self.video.buf = buf._replace(disps=_sensor_overwrite(
+            buf.disps, buf.disps_sens, jnp.asarray(self.t1 - 1)))
 
         for _ in range(self.iters1):
             self.graph.update(None, None, use_inactive=True)
@@ -98,10 +136,10 @@ class DroidFrontend:
                 self.graph.update(None, None, use_inactive=True)
 
         buf = self.video.buf
-        self.video.buf = buf._replace(
-            poses=buf.poses.at[self.t1].set(buf.poses[self.t1 - 1]),
-            disps=buf.disps.at[self.t1].set(jnp.quantile(
-                buf.disps[self.t1 - self.depth_window - 1:self.t1 - 1], 0.7)))
+        poses, disps = _post_update_state(buf.poses, buf.disps,
+                                          jnp.asarray(self.t1),
+                                          self.depth_window)
+        self.video.buf = buf._replace(poses=poses, disps=disps)
 
         self.video.dirty[int(self.graph.ii.min()):self.t1] = True
 
@@ -121,10 +159,8 @@ class DroidFrontend:
             self.graph.update(1, use_inactive=True)
 
         buf = self.video.buf
-        self.video.buf = buf._replace(
-            poses=buf.poses.at[self.t1].set(buf.poses[self.t1 - 1]),
-            disps=buf.disps.at[self.t1].set(
-                buf.disps[self.t1 - 4:self.t1].mean()))
+        poses, disps = _init_state(buf.poses, buf.disps, jnp.asarray(self.t1))
+        self.video.buf = buf._replace(poses=poses, disps=disps)
 
         self.is_initialized = True
         with self.video.get_lock():

@@ -45,9 +45,10 @@ WINDOW_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
 # jitted cores
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("nw",))
+@partial(jax.jit, static_argnames=("nw", "use_pallas"))
 def _update_core(params, poses, disps, intrinsics, inps_buf, pyramid, nets_e,
-                 target, weight, slots, ii, jj, valid, g0, nw: int):
+                 target, weight, slots, ii, jj, valid, g0, nw: int,
+                 use_pallas: bool = False):
     """One GRU+heads iteration over the active edges (factor_graph.py:215-238).
 
     pyramid: tuple of [EB, HW, hl, wl] slot-addressed corr volumes.
@@ -69,17 +70,27 @@ def _update_core(params, poses, disps, intrinsics, inps_buf, pyramid, nets_e,
 
     # correlation lookup with slot indexing fused into the gather
     cflat = coords1.reshape(EA, hw, 2)
-    outs = []
-    for lvl, vol in enumerate(pyramid):
-        outs.append(_lookup_slots(vol, slots, cflat / (2.0 ** lvl),
-                                  corr_ops.RADIUS))
-    corr = jnp.concatenate(outs, axis=-1).reshape(EA, h, w, -1)
+    if use_pallas:
+        from ..ops import corr_pallas
+        corr = corr_pallas.lookup_pyramid_slots(pyramid, slots, cflat,
+                                                corr_ops.RADIUS)
+        corr = corr.reshape(EA, h, w, -1)
+    else:
+        outs = []
+        for lvl, vol in enumerate(pyramid):
+            outs.append(_lookup_slots(vol, slots, cflat / (2.0 ** lvl),
+                                      corr_ops.RADIUS))
+        corr = jnp.concatenate(outs, axis=-1).reshape(EA, h, w, -1)
 
     cdt = jnp.bfloat16
+    # padded edge slots must not contaminate the per-frame aggregation:
+    # route them to a dump segment (nw) and drop it
+    agg_ii = jnp.where(valid, jnp.clip(ii - g0, 0, nw - 1), nw)
     net, delta, weight_new, eta, upmask = nets.update_module(
         params, nets_e[slots].astype(cdt), inps_buf[ii].astype(cdt),
-        corr.astype(cdt), motn.astype(cdt),
-        ii=jnp.clip(ii - g0, 0, nw - 1), num_frames=nw)
+        corr.astype(cdt), motn.astype(cdt), ii=agg_ii, num_frames=nw + 1)
+    eta = eta[:nw]
+    upmask = upmask[:nw]
 
     target_new = coords1 + delta.astype(jnp.float32)
     target_new = target_new.reshape(EA, hw, 2).transpose(0, 2, 1)
@@ -149,10 +160,12 @@ def _lowmem_chunk_core(params, poses, disps, intrinsics, inps_buf, fpyr,
     corr = corr_ops.alt_lookup(fpyr, coords1, ii_rows, jj_rows)
 
     cdt = jnp.bfloat16
+    agg_ii = jnp.where(valid, jnp.clip(ii - g0, 0, nw - 1), nw)
     net, delta, weight_new, eta, upmask = nets.update_module(
         params, nets_e[slots].astype(cdt), inps_buf[ii].astype(cdt),
-        corr.astype(cdt), motn.astype(cdt),
-        ii=jnp.clip(ii - g0, 0, nw - 1), num_frames=nw)
+        corr.astype(cdt), motn.astype(cdt), ii=agg_ii, num_frames=nw + 1)
+    eta = eta[:nw]
+    upmask = upmask[:nw]
 
     target_new = (coords1 + delta.astype(jnp.float32)) \
         .reshape(EA, hw, 2).transpose(0, 2, 1)
@@ -190,6 +203,8 @@ class FactorGraph:
         self.max_factors = max_factors
         self.corr_impl = corr_impl
         self.upsample = upsample
+        # Pallas lookup kernel on real accelerators; XLA gather on CPU
+        self.use_pallas = jax.default_backend() not in ("cpu",)
 
         self.h, self.w = video.h, video.w
         hw = self.h * self.w
@@ -266,28 +281,36 @@ class FactorGraph:
         while len(self.free) < len(ii):
             self._grow()
 
-        slots = np.array([self.free.pop(0) for _ in ii], np.int64)
-        ii_d, jj_d = jnp.asarray(ii), jnp.asarray(jj)
+        # pad the batch of new edges to a bucket so the reprojection/volume
+        # builds compile once per bucket size (recompile control, SURVEY §7.4)
+        k = len(ii)
+        kb = _bucket(k, (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096))
+        ii_p = np.zeros(kb, np.int64); ii_p[:k] = ii
+        jj_p = np.zeros(kb, np.int64); jj_p[:k] = jj
+        slots = np.array([self.free.pop(0) for _ in range(k)], np.int64)
+        slots_p = np.full(kb, self.capacity + 1, np.int64)  # pad -> dropped
+        slots_p[:k] = slots
+        ii_d, jj_d = jnp.asarray(ii_p), jnp.asarray(jj_p)
 
         # initial target = current reprojection, weight = 0 (fg.py:138-140)
-        coords, _ = self.video.reproject(ii_d, jj_d)
+        coords, _ = self.video.reproject(ii_p, jj_p)
         hw = self.h * self.w
-        target0 = coords.reshape(len(ii), hw, 2).transpose(0, 2, 1)
+        target0 = coords.reshape(kb, hw, 2).transpose(0, 2, 1)
         net0 = self.video.buf.nets[ii_d]
-        sl = jnp.asarray(slots)
+        sl = jnp.asarray(slots_p)
         self.net, self.target, self.weight = _scatter_rows(
             (self.net, self.target, self.weight), sl,
             (net0, target0, jnp.zeros_like(target0)))
 
         if self.corr_impl == "volume":
-            c = (ii == jj).astype(np.int64)  # stereo edges use right view
+            c = (ii_p == jj_p).astype(np.int64)  # stereo edges use right view
             f1 = self.video.buf.fmaps[ii_d, 0]
             f2 = self.video.buf.fmaps[jj_d, jnp.asarray(c)]
             vols = _build_edge_volumes(f1, f2)
             self.pyramid = _scatter_rows(self.pyramid, sl, vols)
 
-        for k in range(len(ii)):
-            self.edges.append([int(slots[k]), int(ii[k]), int(jj[k]), 0])
+        for n in range(k):
+            self.edges.append([int(slots[n]), int(ii[n]), int(jj[n]), 0])
 
     def _grow(self):
         """Double the active-edge capacity (slot-stable)."""
@@ -319,8 +342,13 @@ class FactorGraph:
                 self._grow_inactive()
             islots = np.array([self.inac_free.pop(0) for _ in removed],
                               np.int64)
-            src = jnp.asarray(slots)
-            dst = jnp.asarray(islots)
+            kb = _bucket(len(removed), (4, 8, 16, 32, 64, 128, 256, 512,
+                                        1024, 2048, 4096))
+            src_p = np.zeros(kb, np.int64); src_p[:len(slots)] = slots
+            dst_p = np.full(kb, self.target_inac.shape[0] + 1, np.int64)
+            dst_p[:len(islots)] = islots
+            src = jnp.asarray(src_p)
+            dst = jnp.asarray(dst_p)
             self.target_inac, self.weight_inac = _scatter_rows(
                 (self.target_inac, self.weight_inac), dst,
                 (self.target[src], self.weight[src]))
@@ -413,8 +441,8 @@ class FactorGraph:
         net, target, weight, eta, upmask, _ = _update_core(
             self.params, buf.poses, buf.disps, buf.intrinsics, buf.inps,
             self.pyramid, self.net, self.target, self.weight,
-            pad_idx(slots, self.capacity), pad_idx(ii, 0), pad_idx(jj, 0),
-            valid, jnp.asarray(g0), nw)
+            pad_idx(slots, 0), pad_idx(ii, 0), pad_idx(jj, 0),
+            valid, jnp.asarray(g0), nw, self.use_pallas)
 
         sl = jnp.asarray(np.concatenate(
             [slots, np.full(EA - len(slots), self.capacity + 1)]))

@@ -171,19 +171,32 @@ class DepthVideo:
     # ------------------------------------------------------------------
 
     def reproject(self, ii, jj):
-        """depth_video.py:171-179."""
-        ii = jnp.asarray(ii); jj = jnp.asarray(jj)
-        coords, valid, _ = pops.projective_transform(
-            self.buf.poses, self.buf.disps, self.buf.intrinsics, ii, jj)
-        return coords, valid
+        """depth_video.py:171-179. Edge count is padded to a bucket so the
+        jitted transform compiles once per bucket, not per call."""
+        ii = np.atleast_1d(np.asarray(ii))
+        jj = np.atleast_1d(np.asarray(jj))
+        n = len(ii)
+        nb = _edge_bucket(n)
+        ii_p = np.zeros(nb, np.int64); ii_p[:n] = ii
+        jj_p = np.zeros(nb, np.int64); jj_p[:n] = jj
+        coords, valid = _reproject_jit(
+            self.buf.poses, self.buf.disps, self.buf.intrinsics,
+            jnp.asarray(ii_p), jnp.asarray(jj_p))
+        return coords[:n], valid[:n]
 
     def distance(self, ii, jj, beta=0.3, bidirectional=True):
-        """depth_video.py:181-211."""
-        ii = jnp.asarray(np.atleast_1d(np.asarray(ii)))
-        jj = jnp.asarray(np.atleast_1d(np.asarray(jj)))
-        return gdist.frame_distance_jit(
-            self.buf.poses, self.buf.disps, self.buf.intrinsics[0], ii, jj,
-            beta, bidirectional=bidirectional)
+        """depth_video.py:181-211 (edge count bucketed)."""
+        ii = np.atleast_1d(np.asarray(ii))
+        jj = np.atleast_1d(np.asarray(jj))
+        n = len(ii)
+        nb = _edge_bucket(n)
+        ii_p = np.zeros(nb, np.int64); ii_p[:n] = ii
+        jj_p = np.zeros(nb, np.int64); jj_p[:n] = jj
+        d = gdist.frame_distance_jit(
+            self.buf.poses, self.buf.disps, self.buf.intrinsics[0],
+            jnp.asarray(ii_p), jnp.asarray(jj_p), beta,
+            bidirectional=bidirectional)
+        return d[:n]
 
     def distance_matrix(self, beta=0.3):
         """All-pairs distance over current keyframes (returns [t,t] numpy)."""
@@ -239,3 +252,21 @@ def _pad_to(x, n):
         return x[:n]
     return jnp.concatenate(
         [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+
+_EDGE_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192,
+                 16384, 32768, 65536, 262144, 1048576)
+
+
+def _edge_bucket(n: int) -> int:
+    for b in _EDGE_BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+@jax.jit
+def _reproject_jit(poses, disps, intrinsics, ii, jj):
+    coords, valid, _ = pops.projective_transform(poses, disps, intrinsics,
+                                                 ii, jj)
+    return coords, valid

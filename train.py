@@ -106,7 +106,8 @@ def main():
         sb["ii"] = replicate(mesh, batch["ii"])
         sb["jj"] = replicate(mesh, batch["jj"])
 
-        params, opt_state, metrics = step_fn(params, opt_state, sb)
+        key = jax.random.PRNGKey(total_steps)
+        params, opt_state, metrics = step_fn(params, opt_state, sb, key)
         logger.push({k: float(v) for k, v in metrics.items()})
         total_steps += 1
 
