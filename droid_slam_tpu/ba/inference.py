@@ -75,33 +75,37 @@ RMAX_BUCKETS = (8, 16, 32, 64, 128)
 
 
 def build_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
-               iters: int = 2, motion_only: bool = False):
+               iters: int = 2, motion_only: bool = False, valid=None):
     """Build (BAShape, BAPlan) from a concrete edge list on the host.
+
+    `valid` (optional bool mask over ii/jj) marks real edges when the caller
+    supplies an already-padded layout (the fused frontend update passes
+    [inactive | active-bucket] so plan rows line up with its device arrays).
 
     O(E) python/numpy; runs whenever the edge set changes (cheap next to the
     device work, and the resulting plan is reused across GN iterations).
     """
     ii = np.asarray(ii, np.int64)
     jj = np.asarray(jj, np.int64)
-    n_edges = len(ii)
-    g0 = int(min(ii.min(), jj.min(), t0)) if n_edges else int(t0)
+    if valid is None:
+        valid = np.ones(len(ii), bool)
+    valid = np.asarray(valid, bool)
+    vi = ii[valid]
+    vj = jj[valid]
+    g0 = int(min(vi.min(), vj.min(), t0)) if len(vi) else int(t0)
     nw = t1 - g0
-    E = _bucket(max(n_edges, 1), EDGE_BUCKETS)
+    E = _bucket(max(len(ii), 1), EDGE_BUCKETS)
     NW = _bucket(nw, WINDOW_BUCKETS)
 
-    ii_p = np.zeros(E, np.int32)
-    jj_p = np.zeros(E, np.int32)
-    ii_p[:n_edges] = ii
-    jj_p[:n_edges] = jj
-    # padded edges point at the window start (any in-range frame works; they
-    # carry zero weight via edge_valid)
-    ii_p[n_edges:] = g0
-    jj_p[n_edges:] = g0
+    ii_p = np.full(E, g0, np.int32)
+    jj_p = np.full(E, g0, np.int32)
+    ii_p[:len(ii)] = np.where(valid, ii, g0)
+    jj_p[:len(jj)] = np.where(valid, jj, g0)
     edge_valid = np.zeros(E, bool)
-    edge_valid[:n_edges] = True
+    edge_valid[:len(ii)] = valid
 
     row_pose, row_depth, k_valid, rk_idx, RMAX = _build_rows(
-        ii, jj, ii_p, jj_p, edge_valid, n_edges, t0, t1, g0, NW, E)
+        vi, vj, ii_p, jj_p, edge_valid, t0, t1, g0, NW, E)
 
     shape = BAShape(edges=E, window=NW, rmax=RMAX, iters=iters,
                     motion_only=motion_only)
@@ -115,12 +119,17 @@ def build_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
     return shape, plan
 
 
-def _build_rows(ii, jj, ii_p, jj_p, edge_valid, n_edges, t0, t1, g0, NW, E):
+def _build_rows(vi, vj, ii_p, jj_p, edge_valid, t0, t1, g0, NW, E):
     """Schur row table + per-depth-frame grouping; native C++ fast path
-    (droid_slam_tpu/native/plan_builder.cpp) with a python fallback."""
+    (droid_slam_tpu/native/plan_builder.cpp) with a python fallback.
+
+    vi/vj: the *valid* edge endpoints; ii_p/jj_p/edge_valid: the padded
+    E-sized layout the device arrays use (row NW+e corresponds to padded
+    slot e; invalid slots never join a Schur group)."""
     from .. import native
 
-    res = native.build_ba_rows(ii, jj, t0, t1, g0, NW, E, RMAX_BUCKETS[-1])
+    res = native.build_ba_rows_masked(ii_p, jj_p, edge_valid, t0, t1, g0,
+                                      NW, E, RMAX_BUCKETS[-1])
     if res is not None:
         row_pose, row_depth, k_valid, rk_full, rmax = res
         RMAX = _bucket(max(rmax, 1), RMAX_BUCKETS)
@@ -128,7 +137,7 @@ def _build_rows(ii, jj, ii_p, jj_p, edge_valid, n_edges, t0, t1, g0, NW, E):
 
     # ---- python fallback ------------------------------------------------
     # depth variables: kx = unique(ii ∪ [t0,t1)) (droid_kernels.cu:1345-1353)
-    kx = set(range(t0, t1)) | set(int(x) for x in ii)
+    kx = set(range(t0, t1)) | set(int(x) for x in vi)
     k_valid = np.zeros(NW, bool)
     for k in kx:
         if g0 <= k < g0 + NW:
@@ -142,14 +151,14 @@ def _build_rows(ii, jj, ii_p, jj_p, edge_valid, n_edges, t0, t1, g0, NW, E):
         row_depth[r] = r
         if t0 <= f < t1:
             row_pose[r] = f - t0
-    for e in range(n_edges):
+    for e in range(E):
         row_depth[NW + e] = ii_p[e] - g0
-        if t0 <= jj_p[e] < t1:
+        if edge_valid[e] and t0 <= jj_p[e] < t1:
             row_pose[NW + e] = jj_p[e] - t0
 
     groups = [[] for _ in range(NW)]
     for r in range(NR):
-        if row_pose[r] >= 0 and (r < NW or edge_valid[r - NW]):
+        if row_pose[r] >= 0:
             groups[row_depth[r]].append(r)
     rmax = max((len(g) for g in groups), default=1)
     RMAX = _bucket(max(rmax, 1), RMAX_BUCKETS)
@@ -179,7 +188,19 @@ def _scatter_pose_vec(vecs, pi, NW, n_free):
 @partial(jax.jit, static_argnames=("shape",), donate_argnames=("poses", "disps"))
 def ba_windowed(shape: BAShape, poses, disps, disps_sens, damping, intrinsics,
                 target, weight, plan: BAPlan, lm, ep):
+    """Jit wrapper around ba_iterations (kept for standalone callers)."""
+    return ba_iterations(shape, poses, disps, disps_sens, damping, intrinsics,
+                         target, weight, plan, lm, ep)
+
+
+def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
+                  intrinsics, target, weight, plan: BAPlan, lm, ep):
     """Run `shape.iters` Gauss-Newton iterations; returns (poses, disps).
+
+    Traceable (no jit) so callers can fuse it into larger programs — the
+    frontend fuses N x (ConvGRU update + BA) into one dispatch, which matters
+    both for XLA scheduling and because each dispatch costs ~10-20 ms over
+    the deployment's TPU tunnel.
 
     poses [B,7], disps/disps_sens/damping [B,h,w] are full (padded) keyframe
     buffers; target/weight [E,2,HW]; intrinsics [4] shared across frames

@@ -36,6 +36,7 @@ def get_lib():
             _build()
         lib = ctypes.CDLL(_LIB)
         lib.build_ba_rows.restype = ctypes.c_int
+        lib.build_ba_rows_masked.restype = ctypes.c_int
         lib.proximity_edges.restype = ctypes.c_int
         _lib = lib
         return lib
@@ -64,6 +65,31 @@ def build_ba_rows(ii, jj, t0, t1, g0, NW, E, rmax_cap):
     rmax = lib.build_ba_rows(
         _ptr(ii, ctypes.c_int64), _ptr(jj, ctypes.c_int64),
         ctypes.c_int(n_edges), ctypes.c_int(t0), ctypes.c_int(t1),
+        ctypes.c_int(g0), ctypes.c_int(NW), ctypes.c_int(E),
+        ctypes.c_int(rmax_cap), _ptr(row_pose, ctypes.c_int32),
+        _ptr(row_depth, ctypes.c_int32), _ptr(k_valid, ctypes.c_uint8),
+        _ptr(rk_idx, ctypes.c_int32))
+    if rmax < 0:
+        return None
+    return row_pose, row_depth, k_valid.astype(bool), rk_idx, rmax
+
+
+def build_ba_rows_masked(ii_p, jj_p, valid, t0, t1, g0, NW, E, rmax_cap):
+    """Masked Schur-row grouping for padded edge layouts; None when the
+    native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ii_p = np.ascontiguousarray(ii_p, np.int32)
+    jj_p = np.ascontiguousarray(jj_p, np.int32)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    row_pose = np.empty(NW + E, np.int32)
+    row_depth = np.empty(NW + E, np.int32)
+    k_valid = np.empty(NW, np.uint8)
+    rk_idx = np.empty((NW, rmax_cap), np.int32)
+    rmax = lib.build_ba_rows_masked(
+        _ptr(ii_p, ctypes.c_int32), _ptr(jj_p, ctypes.c_int32),
+        _ptr(valid, ctypes.c_uint8), ctypes.c_int(t0), ctypes.c_int(t1),
         ctypes.c_int(g0), ctypes.c_int(NW), ctypes.c_int(E),
         ctypes.c_int(rmax_cap), _ptr(row_pose, ctypes.c_int32),
         _ptr(row_depth, ctypes.c_int32), _ptr(k_valid, ctypes.c_uint8),

@@ -80,6 +80,57 @@ int build_ba_rows(const int64_t* ii, const int64_t* jj, int n_edges,
   return rmax;
 }
 
+// Masked variant: the padded edge layout is given directly (ii_p/jj_p of
+// length E with a validity mask), so Schur row NW+e corresponds to device
+// edge slot e.
+int build_ba_rows_masked(const int32_t* ii_p, const int32_t* jj_p,
+                         const uint8_t* valid, int t0, int t1, int g0,
+                         int NW, int E, int RMAX_CAP, int32_t* row_pose,
+                         int32_t* row_depth, uint8_t* k_valid,
+                         int32_t* rk_idx) {
+  const int NR = NW + E;
+  for (int r = 0; r < NR; r++) {
+    row_pose[r] = -1;
+    row_depth[r] = 0;
+  }
+  std::memset(k_valid, 0, NW);
+  std::fill(rk_idx, rk_idx + (int64_t)NW * RMAX_CAP, -1);
+
+  for (int f = t0; f < t1; f++) {
+    int k = f - g0;
+    if (0 <= k && k < NW) k_valid[k] = 1;
+  }
+  for (int e = 0; e < E; e++) {
+    if (!valid[e]) continue;
+    int k = ii_p[e] - g0;
+    if (0 <= k && k < NW) k_valid[k] = 1;
+  }
+
+  for (int r = 0; r < NW; r++) {
+    int f = g0 + r;
+    row_depth[r] = r;
+    if (t0 <= f && f < t1) row_pose[r] = f - t0;
+  }
+  for (int e = 0; e < E; e++) {
+    row_depth[NW + e] = ii_p[e] - g0;
+    if (valid[e] && t0 <= jj_p[e] && jj_p[e] < t1)
+      row_pose[NW + e] = jj_p[e] - t0;
+  }
+
+  std::vector<int> count(NW, 0);
+  int rmax = 0;
+  for (int r = 0; r < NR; r++) {
+    if (row_pose[r] < 0) continue;
+    int k = row_depth[r];
+    if (k < 0 || k >= NW) continue;
+    if (count[k] >= RMAX_CAP) return -1;
+    rk_idx[(int64_t)k * RMAX_CAP + count[k]] = r;
+    count[k]++;
+    rmax = std::max(rmax, count[k]);
+  }
+  return rmax;
+}
+
 // Greedy NMS proximity edge proposal (factor_graph.py:346-412).
 //
 // d            : distance matrix flattened [(t - t0) * (t - t1)], row-major

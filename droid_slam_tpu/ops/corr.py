@@ -102,14 +102,142 @@ def _lookup_level(vol: jnp.ndarray, coords: jnp.ndarray, radius: int):
     return out.reshape(E, HW, rd * rd)
 
 
-@partial(jax.jit, static_argnames=("radius",))
-def lookup_pyramid(pyramid, coords: jnp.ndarray, radius: int = RADIUS):
+def _lookup_level_tent(vol: jnp.ndarray, coords: jnp.ndarray, radius: int):
+    """Window lookup as two separable tent-weight MXU contractions.
+
+    The bilinear window sample is separable:
+      out[p,a,b] = sum_h sum_w T(y(p)+b-r-h) T(x(p)+a-r-w) vol[p,h,w]
+    with T the unit tent function — the tent weights fold the bilinear blend
+    into the matmuls and (unlike a one-hot formulation, which XLA
+    pattern-matches back into a slow gather) keep the computation on the MXU.
+    Out-of-range rows/columns receive zero weight, reproducing the CUDA
+    kernel's zero padding.
+
+    vol [E,HW,h2,w2]; coords [E,HW,2]. Returns [E,HW,(2r+1)^2] f32,
+    x-offset-major.
+    """
+    E, HW, h2, w2 = vol.shape
+    r = radius
+    rd = 2 * r + 1
+
+    cdt = vol.dtype if vol.dtype == jnp.bfloat16 else jnp.float32
+    x = coords[..., 0]
+    y = coords[..., 1]
+    off = jnp.arange(rd, dtype=jnp.float32)
+
+    # tent weights T(pos - grid): [E,HW,rd,h2] and [E,HW,rd,w2]
+    ypos = y[..., None, None] + (off - r)[None, None, :, None]
+    wy = jnp.clip(1.0 - jnp.abs(
+        ypos - jnp.arange(h2, dtype=jnp.float32)), 0.0, 1.0).astype(cdt)
+    xpos = x[..., None, None] + (off - r)[None, None, :, None]
+    wx = jnp.clip(1.0 - jnp.abs(
+        xpos - jnp.arange(w2, dtype=jnp.float32)), 0.0, 1.0).astype(cdt)
+
+    rows = jnp.einsum("ekbh,ekhw->ekbw", wy, vol)      # [E,HW,rd,w2]
+    taps = jnp.einsum("ekbw,ekaw->ekba", rows, wx)     # [E,HW,rd(b),rd(a)]
+    return taps.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(
+        E, HW, rd * rd)
+
+
+def _lookup_level_dense(vol: jnp.ndarray, coords: jnp.ndarray, radius: int):
+    """Tent-weight lookup as fused broadcast-multiply-reduce (VPU) instead of
+    batched tiny matmuls (which the MXU executes one 8x40 matrix at a time).
+
+    Same math as _lookup_level_tent; lowers to dense vectorized
+    multiply-accumulate loops that XLA fuses without materializing the
+    5-D product.
+    """
+    E, HW, h2, w2 = vol.shape
+    r = radius
+    rd = 2 * r + 1
+
+    x = coords[..., 0]
+    y = coords[..., 1]
+    off = jnp.arange(rd, dtype=jnp.float32)
+
+    vol32 = vol.astype(jnp.float32)
+    # x-step: cols[p,h,a] = sum_w T(x+a-r-w) vol[p,h,w]
+    xpos = x[..., None, None] + (off - r)[None, None, :, None]  # [E,HW,rd,1]
+    wx = jnp.clip(1.0 - jnp.abs(
+        xpos - jnp.arange(w2, dtype=jnp.float32)), 0.0, 1.0)   # [E,HW,rd,w2]
+    cols = jnp.sum(wx[:, :, None, :, :] * vol32[:, :, :, None, :],
+                   axis=-1)                                     # [E,HW,h2,rd]
+    # y-step: out[p,b,a] = sum_h T(y+b-r-h) cols[p,h,a]
+    ypos = y[..., None, None] + (off - r)[None, None, :, None]
+    wy = jnp.clip(1.0 - jnp.abs(
+        ypos - jnp.arange(h2, dtype=jnp.float32)), 0.0, 1.0)   # [E,HW,rd,h2]
+    out = jnp.sum(wy[:, :, :, :, None] * cols[:, :, None, :, :],
+                  axis=-2)                                      # [E,HW,rd(b),rd(a)]
+    return out.transpose(0, 1, 3, 2).reshape(E, HW, rd * rd)
+
+
+def _lookup_level_onehot(vol: jnp.ndarray, coords: jnp.ndarray, radius: int):
+    """Window lookup expressed as two one-hot MXU contractions — the
+    TPU-native formulation (XLA scalar gathers are ~100x slower here).
+
+    Decomposition (mirrors the Pallas kernel in ops/corr_pallas.py, which the
+    current deployment cannot compile through the remote-AOT path):
+      1. y-selection: one-hot over volume rows; out-of-range rows match
+         nothing, reproducing the CUDA kernel's zero padding.
+      2. x-selection: one-hot over columns on the (2r+2) integer grid.
+      3. bilinear blend of the D x D integer grid into (2r+1)^2 taps
+         (the altcorr D-trick, src/altcorr_kernel.cu:160-171).
+
+    vol [E,HW,h2,w2]; coords [E,HW,2]. Returns [E,HW,(2r+1)^2] f32,
+    x-offset-major.
+    """
+    E, HW, h2, w2 = vol.shape
+    r = radius
+    rd = 2 * r + 1
+    D = 2 * r + 2
+
+    x0 = jnp.floor(coords[..., 0])
+    y0 = jnp.floor(coords[..., 1])
+    dx = (coords[..., 0] - x0)[..., None, None]
+    dy = (coords[..., 1] - y0)[..., None, None]
+    xi0 = x0.astype(jnp.int32)
+    yi0 = y0.astype(jnp.int32)
+
+    cdt = vol.dtype if vol.dtype == jnp.bfloat16 else jnp.float32
+    off = jnp.arange(D, dtype=jnp.int32)
+    oh_y = (jnp.arange(h2, dtype=jnp.int32)[None, None, None, :]
+            == (yi0[..., None] - r + off)[..., None]).astype(cdt)
+    rows = jnp.einsum("ekbh,ekhw->ekbw", oh_y, vol)  # [E,HW,D,w2]
+    oh_x = (jnp.arange(w2, dtype=jnp.int32)[None, None, None, :]
+            == (xi0[..., None] - r + off)[..., None]).astype(cdt)
+    taps = jnp.einsum("ekbw,ekaw->ekba", rows, oh_x).astype(jnp.float32)
+
+    # taps dims are [..., b(y), a(x)]: dx advances a, dy advances b
+    out = ((1.0 - dx) * (1.0 - dy) * taps[..., :rd, :rd]
+           + dx * (1.0 - dy) * taps[..., :rd, 1:]
+           + (1.0 - dx) * dy * taps[..., 1:, :rd]
+           + dx * dy * taps[..., 1:, 1:])
+    # [E,HW,b(y),a(x)] -> x-major channels
+    return out.transpose(0, 1, 3, 2).reshape(E, HW, rd * rd)
+
+
+def _lookup_level_impl(vol, coords, radius, impl="auto"):
+    if impl == "auto":
+        impl = "tent" if jax.default_backend() != "cpu" else "gather"
+    if impl == "tent":
+        return _lookup_level_tent(vol, coords, radius)
+    if impl == "dense":
+        return _lookup_level_dense(vol, coords, radius)
+    if impl == "onehot":
+        return _lookup_level_onehot(vol, coords, radius)
+    return _lookup_level(vol, coords, radius)
+
+
+@partial(jax.jit, static_argnames=("radius", "impl"))
+def lookup_pyramid(pyramid, coords: jnp.ndarray, radius: int = RADIUS,
+                   impl: str = "auto"):
     """Sample all levels at level-0 coords [E,h,w,2] -> [E,h,w,L*(2r+1)^2]."""
     E, h, w, _ = coords.shape
     cflat = coords.reshape(E, h * w, 2)
     outs = []
     for lvl, vol in enumerate(pyramid):
-        outs.append(_lookup_level(vol, cflat / (2.0 ** lvl), radius))
+        outs.append(_lookup_level_impl(vol, cflat / (2.0 ** lvl), radius,
+                                       impl))
     out = jnp.concatenate(outs, axis=-1)
     return out.reshape(E, h, w, -1)
 

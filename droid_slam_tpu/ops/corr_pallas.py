@@ -3,14 +3,24 @@
 The lookup samples a (2r+1)^2 bilinear window around per-pixel warped
 coordinates from each edge's correlation volume
 (corr_index_forward_kernel, /root/reference/src/correlation_kernels.cu:21-71).
-An XLA gather formulation touches 49*4 scattered scalars per pixel; this
-kernel instead DMAs each pixel-block's volume rows into VMEM contiguously
-(full-bandwidth bulk copies) and performs the window selection as four
-vectorized lane-gathers with the bilinear weights folded in.
+An XLA gather formulation touches 49*4 scattered scalars per pixel (~470 ms
+per 48-edge update on v5e); this kernel DMAs each pixel-block's volume rows
+into VMEM contiguously and decomposes the 2-D window selection into
+TPU-friendly primitives:
+
+  * y-selection: a one-hot contraction over the volume's row dimension
+    (vectorized compare + batched matmul; out-of-range rows select nothing,
+    which reproduces the kernel's zero-padding for free);
+  * x-selection: an in-register lane gather within a single 128-lane tile
+    (valid while the volume width <= 128, true for every supported
+    resolution at 1/8 scale — the wrapper falls back to the XLA path
+    otherwise);
+  * bilinear blend of the (2r+2)^2 integer grid into (2r+1)^2 taps
+    (the altcorr D-trick, src/altcorr_kernel.cu:160-171).
 
 Slot indirection (the FactorGraph stores volumes in slot-stable buffers) is
 handled with a scalar-prefetched slot table feeding the BlockSpec index map,
-so no [E, HW, L] materialization ever happens.
+so no [E, HW, ...] gather of volumes ever materializes.
 """
 
 from __future__ import annotations
@@ -27,38 +37,46 @@ RADIUS = 3
 
 def _lookup_kernel(slots_ref, xs_ref, ys_ref, vol_ref, out_ref, *, w2, h2,
                    radius):
-    """One (edge, pixel-block): vol_ref [1, PB, L], xs/ys [1, PB],
-    out [1, PB, (2r+1)^2]."""
+    """One (edge, pixel-block): vol_ref [1, PB, h2, w2], xs/ys [1, 1, PB],
+    out [1, PB, rd, rd] ordered (y-offset, x-offset)."""
     r = radius
     rd = 2 * r + 1
-    x = xs_ref[0, :]
-    y = ys_ref[0, :]
+    D = 2 * r + 2
+    x = xs_ref[0, 0, :]
+    y = ys_ref[0, 0, :]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    dx = (x - x0)[:, None]
-    dy = (y - y0)[:, None]
+    dx = (x - x0)[:, None, None]
+    dy = (y - y0)[:, None, None]
+    xi0 = x0.astype(jnp.int32)[:, None, None]
+    yi0 = y0.astype(jnp.int32)[:, None, None]
 
     PB = x.shape[0]
-    # window offsets, x-major channel order (a = x offset, b = y offset)
-    a = jax.lax.broadcasted_iota(jnp.float32, (PB, rd * rd), 1) // rd
-    b = jax.lax.broadcasted_iota(jnp.float32, (PB, rd * rd), 1) % rd
+    vol = vol_ref[0].astype(jnp.float32)  # [PB, h2, w2]
 
-    vol = vol_ref[0].astype(jnp.float32)
+    # ---- y-selection: one-hot over rows; OOB rows match nothing ---------
+    hh = jax.lax.broadcasted_iota(jnp.int32, (PB, D, h2), 2)
+    bb = jax.lax.broadcasted_iota(jnp.int32, (PB, D, h2), 1)
+    onehot = (hh == yi0 - r + bb).astype(jnp.float32)
+    rows = jax.lax.dot_general(
+        onehot, vol, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [PB, D(b), w2]
 
-    def corner(ox, oy):
-        xi = x0[:, None] - r + a + ox
-        yi = y0[:, None] - r + b + oy
-        inb = (xi >= 0) & (xi < w2) & (yi >= 0) & (yi < h2)
-        idx = (jnp.clip(yi, 0, h2 - 1) * w2
-               + jnp.clip(xi, 0, w2 - 1)).astype(jnp.int32)
-        taps = jnp.take_along_axis(vol, idx, axis=-1)
-        return jnp.where(inb, taps, 0.0)
+    # ---- x-selection: lane gather within the w2-lane tile (2D form) -----
+    lane = jax.lax.broadcasted_iota(jnp.int32, (PB, D, w2), 2)
+    xi = xi0 - r + lane
+    inbx = (xi >= 0) & (xi < w2) & (lane < D)
+    idx = jnp.where(inbx, xi, 0).reshape(PB * D, w2)
+    taps = jnp.take_along_axis(rows.reshape(PB * D, w2), idx, axis=-1)
+    taps = jnp.where(inbx.reshape(PB * D, w2), taps, 0.0)
+    taps = taps.reshape(PB, D, w2)[:, :, :D]  # [PB, D(b), D(a)]
 
-    out = ((1.0 - dx) * (1.0 - dy) * corner(0, 0)
-           + dx * (1.0 - dy) * corner(1, 0)
-           + (1.0 - dx) * dy * corner(0, 1)
-           + dx * dy * corner(1, 1))
-    out_ref[0, :, :] = out
+    # ---- bilinear blend D x D -> rd x rd (altcorr D-trick) --------------
+    out = ((1.0 - dx) * (1.0 - dy) * taps[:, :rd, :rd]
+           + dx * (1.0 - dy) * taps[:, :rd, 1:]
+           + (1.0 - dx) * dy * taps[:, 1:, :rd]
+           + dx * dy * taps[:, 1:, 1:])
+    out_ref[0, :, :, :] = out  # [PB, rd(b=y), rd(a=x)]
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))
@@ -67,50 +85,55 @@ def lookup_level_slots(vol, slots, coords, radius: int = RADIUS,
     """Window lookup on one pyramid level with slot indirection.
 
     vol [EB, HW, h2, w2] (slot-addressed volumes); slots [EA];
-    coords [EA, HW, 2] at this level's scale. Returns [EA, HW, (2r+1)^2] f32.
+    coords [EA, HW, 2] at this level's scale. Returns [EA, HW, (2r+1)^2] f32
+    with x-offset-major channels (reference channel order).
     """
     EB, HW, h2, w2 = vol.shape
     EA = slots.shape[0]
     rd = 2 * radius + 1
-    L = h2 * w2
-    volf = vol.reshape(EB, HW, L)
 
     PB = 256 if HW % 256 == 0 else 128 if HW % 128 == 0 else HW
     n_pb = HW // PB
 
-    xs = coords[..., 0]
-    ys = coords[..., 1]
+    xs = coords[..., 0][:, None, :]
+    ys = coords[..., 1][:, None, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(EA, n_pb),
         in_specs=[
-            pl.BlockSpec((1, PB), lambda e, p, s: (e, p),
+            pl.BlockSpec((1, 1, PB), lambda e, p, s: (e, 0, p),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PB), lambda e, p, s: (e, p),
+            pl.BlockSpec((1, 1, PB), lambda e, p, s: (e, 0, p),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PB, L), lambda e, p, s: (s[e], p, 0),
+            pl.BlockSpec((1, PB, h2, w2), lambda e, p, s: (s[e], p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, PB, rd * rd), lambda e, p, s: (e, p, 0),
+        out_specs=pl.BlockSpec((1, PB, rd, rd), lambda e, p, s: (e, p, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
     kernel = functools.partial(_lookup_kernel, w2=w2, h2=h2, radius=radius)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((EA, HW, rd * rd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((EA, HW, rd, rd), jnp.float32),
         interpret=interpret,
-    )(slots.astype(jnp.int32), xs, ys, volf)
+    )(slots.astype(jnp.int32), xs, ys, vol)
+    # (b=y, a=x) -> x-major channel order
+    return out.transpose(0, 1, 3, 2).reshape(EA, HW, rd * rd)
 
 
 def lookup_pyramid_slots(pyramid, slots, coords, radius: int = RADIUS,
                          interpret: bool = False):
     """All-level lookup -> [EA, HW, L*(2r+1)^2] (level-major channels)."""
-    EA, HW, _ = coords.shape
     outs = []
     for lvl, vol in enumerate(pyramid):
         outs.append(lookup_level_slots(vol, slots, coords / (2.0 ** lvl),
                                        radius, interpret=interpret))
     return jnp.concatenate(outs, axis=-1)
+
+
+def supported(pyramid) -> bool:
+    """Kernel constraint: every level's width must fit one 128-lane tile."""
+    return all(v.shape[-1] <= 128 for v in pyramid)

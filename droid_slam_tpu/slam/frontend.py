@@ -120,8 +120,8 @@ class DroidFrontend:
         self.video.buf = buf._replace(disps=_sensor_overwrite(
             buf.disps, buf.disps_sens, jnp.asarray(self.t1 - 1)))
 
-        for _ in range(self.iters1):
-            self.graph.update(None, None, use_inactive=True)
+        self.graph.update(None, None, use_inactive=True,
+                          n_iters=self.iters1)
 
         d = float(self.video.distance([self.t1 - 4], [self.t1 - 2],
                                       beta=self.beta)[0])
@@ -132,8 +132,8 @@ class DroidFrontend:
                 self.video.counter -= 1
                 self.t1 -= 1
         else:
-            for _ in range(self.iters2):
-                self.graph.update(None, None, use_inactive=True)
+            self.graph.update(None, None, use_inactive=True,
+                              n_iters=self.iters2)
 
         buf = self.video.buf
         poses, disps = _post_update_state(buf.poses, buf.disps,
@@ -149,14 +149,12 @@ class DroidFrontend:
         self.t1 = self.video.counter
 
         self.graph.add_neighborhood_factors(self.t0, self.t1, r=3)
-        for _ in range(8):
-            self.graph.update(1, use_inactive=True)
+        self.graph.update(1, use_inactive=True, n_iters=8)
 
         self.graph.add_proximity_factors(0, 0, rad=2, nms=2,
                                          thresh=self.frontend_thresh,
                                          remove=False)
-        for _ in range(8):
-            self.graph.update(1, use_inactive=True)
+        self.graph.update(1, use_inactive=True, n_iters=8)
 
         buf = self.video.buf
         poses, disps = _init_state(buf.poses, buf.disps, jnp.asarray(self.t1))

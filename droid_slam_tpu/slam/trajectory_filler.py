@@ -53,8 +53,7 @@ class PoseTrajectoryFiller:
             graph = FactorGraph(v, self.params)
             graph.add_factors(t0, np.arange(N, N + M))
             graph.add_factors(t1, np.arange(N, N + M))
-            for _ in range(6):
-                graph.update(N, N + M, motion_only=True)
+            graph.update(N, N + M, motion_only=True, n_iters=6)
 
             out = np.asarray(v.buf.poses[N:N + M])
             v.counter = N

@@ -24,6 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ba import inference as ba_inference
 from ..geom import projective as pops
 from ..models import nets
 from ..ops import corr as corr_ops
@@ -45,10 +46,9 @@ WINDOW_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
 # jitted cores
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("nw", "use_pallas"))
-def _update_core(params, poses, disps, intrinsics, inps_buf, pyramid, nets_e,
-                 target, weight, slots, ii, jj, valid, g0, nw: int,
-                 use_pallas: bool = False):
+def _update_core_traced(params, poses, disps, intrinsics, inps_buf, pyramid,
+                        nets_e, target, weight, slots, ii, jj, valid, g0,
+                        nw: int, lookup_impl: str = "gather"):
     """One GRU+heads iteration over the active edges (factor_graph.py:215-238).
 
     pyramid: tuple of [EB, HW, hl, wl] slot-addressed corr volumes.
@@ -68,13 +68,21 @@ def _update_core(params, poses, disps, intrinsics, inps_buf, pyramid, nets_e,
     motn = jnp.concatenate([coords1 - coords0, resd], axis=-1)
     motn = jnp.clip(motn, -64.0, 64.0)
 
-    # correlation lookup with slot indexing fused into the gather
+    # correlation lookup with slot indirection
     cflat = coords1.reshape(EA, hw, 2)
-    if use_pallas:
+    if lookup_impl == "pallas":
         from ..ops import corr_pallas
         corr = corr_pallas.lookup_pyramid_slots(pyramid, slots, cflat,
                                                 corr_ops.RADIUS)
         corr = corr.reshape(EA, h, w, -1)
+    elif lookup_impl == "tent":
+        # leading-dim slot gather = bulk row copies, then tent-weight MXU
+        # contractions (ops/corr.py:_lookup_level_tent)
+        outs = []
+        for lvl, vol in enumerate(pyramid):
+            outs.append(corr_ops._lookup_level_tent(
+                vol[slots], cflat / (2.0 ** lvl), corr_ops.RADIUS))
+        corr = jnp.concatenate(outs, axis=-1).reshape(EA, h, w, -1)
     else:
         outs = []
         for lvl, vol in enumerate(pyramid):
@@ -99,6 +107,80 @@ def _update_core(params, poses, disps, intrinsics, inps_buf, pyramid, nets_e,
     vm = valid[:, None, None].astype(jnp.float32)
     return (net, target_new * vm, weight_new * vm, eta.astype(jnp.float32),
             upmask, coords1)
+
+
+_update_core = jax.jit(_update_core_traced,
+                       static_argnames=("nw", "lookup_impl"))
+
+
+@partial(jax.jit, static_argnames=("nw", "lookup_impl", "n_iters",
+                                   "ba_shape", "upsample"),
+         donate_argnames=("poses", "disps", "damping", "nets_e", "target",
+                          "weight"))
+def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
+                  inps_buf, pyramid, nets_e, target, weight,
+                  slots, ii, jj, valid, g0, nw: int, lookup_impl: str,
+                  ba_shape, ba_plan, tgt_inac, wgt_inac, lm, ep,
+                  n_iters: int, upsample: bool):
+    """N x (ConvGRU update + DBA) fused into ONE XLA program — one dispatch
+    per frontend call instead of ~8 (each dispatch costs ~10-20 ms over the
+    deployment's TPU tunnel; fusing is also what lets XLA overlap the GRU
+    convs with the BA linear algebra).
+
+    slots/ii/jj/valid: padded active-edge views; tgt_inac/wgt_inac: the
+    (constant) inactive-edge contributions already gathered, prepended to the
+    BA edge set whose plan was built on the host for the combined list.
+    """
+    h, w = disps.shape[-2:]
+    hw = h * w
+    win = g0 + jnp.arange(nw)
+
+    def iteration(state, _):
+        poses, disps, damping, nets_e, target, weight = state
+        net_e, tgt_e, wgt_e, eta, upmask, _ = _update_core_traced(
+            params, poses, disps, intrinsics, inps_buf, pyramid, nets_e,
+            target, weight, slots, ii, jj, valid, g0, nw, lookup_impl)
+
+        # scatter edge state back to the slot buffers (invalid slots dropped)
+        cap = nets_e.shape[0]
+        wslots = jnp.where(valid, slots, cap + 1)
+        nets_e = nets_e.at[wslots].set(net_e.astype(nets_e.dtype))
+        target = target.at[wslots].set(tgt_e)
+        weight = weight.at[wslots].set(wgt_e)
+
+        # per-frame damping for frames present in ii (factor_graph.py:238)
+        agg_ii = jnp.clip(ii - g0, 0, nw - 1)
+        present = jax.ops.segment_sum(
+            valid.astype(jnp.float32), agg_ii, num_segments=nw) > 0
+        damping = damping.at[win].set(
+            jnp.where(present[:, None, None], eta, damping[win]))
+
+        # dense bundle adjustment over inactive + active edges
+        tgt_ba = jnp.concatenate([tgt_inac, target[slots]], axis=0)
+        wgt_ba = jnp.concatenate([wgt_inac, weight[slots]], axis=0)
+        pad = ba_shape.edges - tgt_ba.shape[0]
+        if pad > 0:
+            tgt_ba = jnp.concatenate(
+                [tgt_ba, jnp.zeros((pad, 2, hw), tgt_ba.dtype)], axis=0)
+            wgt_ba = jnp.concatenate(
+                [wgt_ba, jnp.zeros((pad, 2, hw), wgt_ba.dtype)], axis=0)
+        poses, disps = ba_inference.ba_iterations(
+            ba_shape, poses, disps, disps_sens, damping, intrinsics[0],
+            tgt_ba[:ba_shape.edges], wgt_ba[:ba_shape.edges], ba_plan, lm, ep)
+        return (poses, disps, damping, nets_e, target, weight), (eta, upmask)
+
+    state = (poses, disps, damping, nets_e, target, weight)
+    state, (etas, upmasks) = jax.lax.scan(iteration, state, None,
+                                          length=n_iters)
+    poses, disps, damping, nets_e, target, weight = state
+    eta_last = etas[-1]
+    upmask_last = upmasks[-1]
+
+    disps_up = None
+    if upsample:
+        disps_up = nets.upsample_disp(disps[win], upmask_last)
+    return (poses, disps, damping, nets_e, target, weight, eta_last,
+            upmask_last, disps_up)
 
 
 def _lookup_slots(vol, slots, coords, radius):
@@ -203,8 +285,11 @@ class FactorGraph:
         self.max_factors = max_factors
         self.corr_impl = corr_impl
         self.upsample = upsample
-        # Pallas lookup kernel on real accelerators; XLA gather on CPU
-        self.use_pallas = jax.default_backend() not in ("cpu",)
+        # lookup formulation: tent-weight MXU contractions on accelerators
+        # (the Pallas kernel is preferable but this deployment's remote-AOT
+        # path cannot compile Mosaic kernels); XLA gather on CPU
+        self.lookup_impl = ("tent" if jax.default_backend() != "cpu"
+                            else "gather")
 
         self.h, self.w = video.h, video.w
         hw = self.h * self.w
@@ -416,7 +501,9 @@ class FactorGraph:
     # ------------------------------------------------------------------
 
     def update(self, t0=None, t1=None, itrs=2, use_inactive=False, EP=1e-7,
-               motion_only=False):
+               motion_only=False, n_iters=1):
+        """Run n_iters x (GRU update + DBA(itrs)) as ONE fused device
+        dispatch (factor_graph.py:215-263 semantics per iteration)."""
         if not self.edges:
             return
         ii, jj = self.ii, self.jj
@@ -436,51 +523,49 @@ class FactorGraph:
             out[:len(x)] = x
             return jnp.asarray(out)
 
-        valid = jnp.asarray(np.arange(EA) < len(ii))
-        buf = self.video.buf
-        net, target, weight, eta, upmask, _ = _update_core(
-            self.params, buf.poses, buf.disps, buf.intrinsics, buf.inps,
-            self.pyramid, self.net, self.target, self.weight,
-            pad_idx(slots, 0), pad_idx(ii, 0), pad_idx(jj, 0),
-            valid, jnp.asarray(g0), nw, self.use_pallas)
-
-        sl = jnp.asarray(np.concatenate(
-            [slots, np.full(EA - len(slots), self.capacity + 1)]))
-        self.net, self.target, self.weight = _scatter_rows(
-            (self.net, self.target, self.weight), sl, (net, target, weight))
-
-        # per-frame damping for frames present in ii (factor_graph.py:238)
-        uframes = np.unique(ii)
-        self.video.update_damping(jnp.asarray(uframes),
-                                  eta[jnp.asarray(uframes - g0)])
-
-        if self.upsample:
-            um = upmask[jnp.asarray(uframes - g0)]
-            disps_up = nets.upsample_disp(
-                self.video.buf.disps[jnp.asarray(uframes)], um)
-            self.video.set_disps_up(jnp.asarray(uframes), disps_up)
-
-        # assemble the BA edge set (active + eligible inactive, fg.py:240-248)
+        # BA edge set: eligible inactive edges first, then the padded active
+        # bucket (fg.py:240-248); the plan is built for this exact layout
         if use_inactive and len(self.ii_inac):
             m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
-            ii_ba = np.concatenate([self.ii_inac[m], ii])
-            jj_ba = np.concatenate([self.jj_inac[m], jj])
-            tgt = jnp.concatenate(
-                [self.target_inac[jnp.asarray(self.inac_slots[m])],
-                 self.target[jnp.asarray(slots)]], axis=0)
-            wgt = jnp.concatenate(
-                [self.weight_inac[jnp.asarray(self.inac_slots[m])],
-                 self.weight[jnp.asarray(slots)]], axis=0)
+            ii_inac, jj_inac = self.ii_inac[m], self.jj_inac[m]
+            tgt_inac = self.target_inac[jnp.asarray(self.inac_slots[m])]
+            wgt_inac = self.weight_inac[jnp.asarray(self.inac_slots[m])]
         else:
-            ii_ba, jj_ba = ii, jj
-            tgt = self.target[jnp.asarray(slots)]
-            wgt = self.weight[jnp.asarray(slots)]
+            ii_inac = np.zeros(0, np.int64)
+            jj_inac = np.zeros(0, np.int64)
+            hw = self.h * self.w
+            tgt_inac = jnp.zeros((0, 2, hw), jnp.float32)
+            wgt_inac = jnp.zeros((0, 2, hw), jnp.float32)
 
-        self.video.ba(tgt, wgt, ii_ba, jj_ba, t0=t0, t1=t1, itrs=itrs,
-                      lm=1e-4, ep=0.1, motion_only=motion_only)
+        ii_full = np.concatenate([ii_inac, ii, np.full(EA - len(ii), t0)])
+        jj_full = np.concatenate([jj_inac, jj, np.full(EA - len(jj), t0)])
+        valid_full = np.concatenate(
+            [np.ones(len(ii_inac), bool),
+             np.ones(len(ii), bool), np.zeros(EA - len(ii), bool)])
+        ba_shape, ba_plan = ba_inference.build_plan(
+            ii_full, jj_full, t0, t1, iters=itrs, motion_only=motion_only,
+            valid=valid_full)
+
+        valid = jnp.asarray(np.arange(EA) < len(ii))
+        buf = self.video.buf
+        (poses, disps, damping, self.net, self.target, self.weight, eta,
+         upmask, disps_up) = _fused_update(
+            self.params, buf.poses, buf.disps, buf.disps_sens, buf.damping,
+            buf.intrinsics, buf.inps, self.pyramid, self.net, self.target,
+            self.weight, pad_idx(slots, 0), pad_idx(ii, 0), pad_idx(jj, 0),
+            valid, jnp.asarray(g0), nw, self.lookup_impl,
+            ba_shape, ba_plan, tgt_inac, wgt_inac,
+            1e-4, 0.1, n_iters, self.upsample)
+        self.video.buf = buf._replace(poses=poses, disps=disps,
+                                      damping=damping)
+
+        if self.upsample and disps_up is not None:
+            uframes = np.unique(ii)
+            self.video.set_disps_up(jnp.asarray(uframes),
+                                    disps_up[jnp.asarray(uframes - g0)])
 
         for e in self.edges:
-            e[3] += 1
+            e[3] += n_iters
 
     # ------------------------------------------------------------------
     # reduced-memory global update (factor_graph.py:267-330)
