@@ -38,17 +38,6 @@ def _next_state(poses, disps, t1, motion_damping):
     return poses, disps
 
 
-@partial(jax.jit, donate_argnames=("poses", "disps"),
-         static_argnames=("depth_window",))
-def _post_update_state(poses, disps, t1, depth_window):
-    """droid_frontend.py:110-114: copy pose, 0.7-quantile disparity init."""
-    win = jax.lax.dynamic_slice_in_dim(disps, t1 - depth_window - 1,
-                                       depth_window, axis=0)
-    disps = disps.at[t1].set(jnp.quantile(win, 0.7))
-    poses = poses.at[t1].set(poses[t1 - 1])
-    return poses, disps
-
-
 @partial(jax.jit, donate_argnames=("disps",))
 def _sensor_overwrite(disps, disps_sens, t):
     """droid_frontend.py:84-88."""
@@ -56,13 +45,11 @@ def _sensor_overwrite(disps, disps_sens, t):
     return disps.at[t].set(jnp.where(sens > 0, sens, disps[t]))
 
 
-@partial(jax.jit, donate_argnames=("poses", "disps"))
-def _init_state(poses, disps, t1):
-    """droid_frontend.py:138-139."""
-    win = jax.lax.dynamic_slice_in_dim(disps, t1 - 4, 4, axis=0)
-    disps = disps.at[t1].set(jnp.mean(win))
-    poses = poses.at[t1].set(poses[t1 - 1])
-    return poses, disps
+# NOTE: the reference writes poses[t1]/disps[t1] at the end of _update
+# (droid_frontend.py:110-114) and of _initialize (:138-139), but __call__
+# invokes _init_next_state immediately after either, which overwrites the
+# same slot (:49-63) — those stores are dead. We only perform the surviving
+# _init_next_state writes (one dispatch instead of two).
 
 
 class DroidFrontend:
@@ -120,11 +107,10 @@ class DroidFrontend:
         self.video.buf = buf._replace(disps=_sensor_overwrite(
             buf.disps, buf.disps_sens, jnp.asarray(self.t1 - 1)))
 
-        self.graph.update(None, None, use_inactive=True,
-                          n_iters=self.iters1)
-
-        d = float(self.video.distance([self.t1 - 4], [self.t1 - 2],
-                                      beta=self.beta)[0])
+        # keyframe-distance probe folded into the fused update dispatch
+        d = float(self.graph.update(
+            None, None, use_inactive=True, n_iters=self.iters1,
+            kf_pair=(self.t1 - 4, self.t1 - 2), kf_beta=self.beta))
 
         if d < 2 * self.keyframe_thresh:
             self.graph.rm_keyframe(self.t1 - 3)
@@ -134,12 +120,6 @@ class DroidFrontend:
         else:
             self.graph.update(None, None, use_inactive=True,
                               n_iters=self.iters2)
-
-        buf = self.video.buf
-        poses, disps = _post_update_state(buf.poses, buf.disps,
-                                          jnp.asarray(self.t1),
-                                          self.depth_window)
-        self.video.buf = buf._replace(poses=poses, disps=disps)
 
         self.video.dirty[int(self.graph.ii.min()):self.t1] = True
 
@@ -155,10 +135,6 @@ class DroidFrontend:
                                          thresh=self.frontend_thresh,
                                          remove=False)
         self.graph.update(1, use_inactive=True, n_iters=8)
-
-        buf = self.video.buf
-        poses, disps = _init_state(buf.poses, buf.disps, jnp.asarray(self.t1))
-        self.video.buf = buf._replace(poses=poses, disps=disps)
 
         self.is_initialized = True
         with self.video.get_lock():

@@ -30,24 +30,28 @@ def _encode_all(params, images_bgr):
     return fmap, net, inp
 
 
-@jax.jit
-def _encode_fnet(params, images_bgr):
+def _encode_fnet_raw(params, images_bgr):
     x = nets.normalize_images(images_bgr).astype(jnp.bfloat16)
     return nets.basic_encoder(params, "fnet", x, "instance")
 
 
+_encode_fnet = jax.jit(_encode_fnet_raw)
+
+
 @jax.jit
-def _flow_delta(params, fmap_prev, gmap, net_prev, inp_prev):
-    """One update-op iteration at zero flow (motion_filter.py:76-81).
-    fmap_prev/gmap are [h,w,128]; returns mean ||delta|| over pixels."""
-    h, w = gmap.shape[0], gmap.shape[1]
+def _encode_and_delta(params, images_bgr, fmap_prev, net_prev, inp_prev):
+    """fnet on the incoming frame + one zero-flow update iteration against
+    the last keyframe (motion_filter.py:66-81), fused into one dispatch.
+    Returns (gmap [C,h,w,128], mean ||delta||)."""
+    gmap = _encode_fnet_raw(params, images_bgr)
+    h, w = gmap.shape[1], gmap.shape[2]
     coords0 = pops.coords_grid(h, w)[None]
     pyramid = corr_ops.build_pyramid(fmap_prev[None].astype(jnp.float32),
-                                     gmap[None].astype(jnp.float32))
+                                     gmap[0][None].astype(jnp.float32))
     corr = corr_ops.lookup_pyramid(pyramid, coords0).astype(jnp.bfloat16)
     _, delta, _ = nets.update_module(params, net_prev[None], inp_prev[None],
                                      corr)
-    return jnp.mean(jnp.linalg.norm(delta.astype(jnp.float32), axis=-1))
+    return gmap, jnp.mean(jnp.linalg.norm(delta.astype(jnp.float32), axis=-1))
 
 
 class MotionFilter:
@@ -69,9 +73,8 @@ class MotionFilter:
             image = image[None]
         img_dev = jnp.asarray(image)
 
-        gmap = _encode_fnet(self.params, img_dev)  # [C,h,w,128]
-
         if self.video.counter == 0:
+            gmap = _encode_fnet(self.params, img_dev)  # [C,h,w,128]
             _, net, inp = _encode_all(self.params, img_dev[:1])
             self.fmap, self.net, self.inp = gmap, net[0], inp[0]
             # first frame always admitted: pose=Id, disp=1 (mf.py:69-72)
@@ -82,8 +85,9 @@ class MotionFilter:
                 fmap=gmap, net=net[0], inp=inp[0])
             return
 
-        delta = float(_flow_delta(self.params, self.fmap[0], gmap[0],
-                                  self.net, self.inp))
+        gmap, delta = _encode_and_delta(self.params, img_dev, self.fmap[0],
+                                        self.net, self.inp)
+        delta = float(delta)
         if delta > self.thresh:
             self.count = 0
             _, net, inp = _encode_all(self.params, img_dev[:1])

@@ -121,7 +121,7 @@ def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
                   inps_buf, pyramid, nets_e, target, weight,
                   slots, ii, jj, valid, g0, nw: int, lookup_impl: str,
                   ba_shape, ba_plan, tgt_inac, wgt_inac, lm, ep,
-                  n_iters: int, upsample: bool):
+                  n_iters: int, upsample: bool, kf_pair=None, kf_beta=0.3):
     """N x (ConvGRU update + DBA) fused into ONE XLA program — one dispatch
     per frontend call instead of ~8 (each dispatch costs ~10-20 ms over the
     deployment's TPU tunnel; fusing is also what lets XLA overlap the GRU
@@ -179,8 +179,17 @@ def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
     disps_up = None
     if upsample:
         disps_up = nets.upsample_disp(disps[win], upmask_last)
+
+    # optional keyframe-distance probe on the updated state
+    # (droid_frontend.py:94-98), folded in to save a dispatch
+    kf_dist = jnp.zeros(())
+    if kf_pair is not None:
+        from ..geom import distance as gdist
+        kf_dist = gdist.frame_distance(
+            poses, disps, intrinsics[0], kf_pair[:1], kf_pair[1:2],
+            kf_beta, bidirectional=True)[0]
     return (poses, disps, damping, nets_e, target, weight, eta_last,
-            upmask_last, disps_up)
+            upmask_last, disps_up, kf_dist)
 
 
 def _lookup_slots(vol, slots, coords, radius):
@@ -263,6 +272,33 @@ def _build_edge_volumes(fmap1, fmap2):
     """4-level corr pyramid for a batch of new edges (modules/corr.py:23-38)."""
     pyr = corr_ops.build_pyramid(fmap1, fmap2, corr_ops.NUM_LEVELS)
     return tuple(p.astype(jnp.bfloat16) for p in pyr)
+
+
+@partial(jax.jit, static_argnames=("with_volumes",),
+         donate_argnames=("nets_e", "target", "weight", "pyramid"))
+def _add_edges_device(poses, disps, intrinsics, nets_buf, fmaps, nets_e,
+                      target, weight, pyramid, ii, jj, cam2, slots,
+                      with_volumes: bool):
+    """Initialize new edges in one dispatch (factor_graph.py:125-150):
+    target = current reprojection, weight = 0, net = video.nets[ii], and
+    (volume impl) the per-edge correlation pyramid."""
+    kb = ii.shape[0]
+    h, w = disps.shape[-2:]
+    hw = h * w
+    coords, _, _ = pops.projective_transform(poses, disps, intrinsics, ii, jj)
+    target0 = coords.reshape(kb, hw, 2).transpose(0, 2, 1)
+
+    nets_e = nets_e.at[slots].set(nets_buf[ii].astype(nets_e.dtype))
+    target = target.at[slots].set(target0)
+    weight = weight.at[slots].set(jnp.zeros_like(target0))
+
+    if with_volumes:
+        f1 = fmaps[ii, 0]
+        f2 = fmaps[jj, cam2]
+        vols = corr_ops.build_pyramid(f1, f2, corr_ops.NUM_LEVELS)
+        pyramid = tuple(p.at[slots].set(v.astype(p.dtype))
+                        for p, v in zip(pyramid, vols))
+    return nets_e, target, weight, pyramid
 
 
 @partial(jax.jit, donate_argnames=("bufs",))
@@ -375,24 +411,18 @@ class FactorGraph:
         slots = np.array([self.free.pop(0) for _ in range(k)], np.int64)
         slots_p = np.full(kb, self.capacity + 1, np.int64)  # pad -> dropped
         slots_p[:k] = slots
-        ii_d, jj_d = jnp.asarray(ii_p), jnp.asarray(jj_p)
 
-        # initial target = current reprojection, weight = 0 (fg.py:138-140)
-        coords, _ = self.video.reproject(ii_p, jj_p)
-        hw = self.h * self.w
-        target0 = coords.reshape(kb, hw, 2).transpose(0, 2, 1)
-        net0 = self.video.buf.nets[ii_d]
-        sl = jnp.asarray(slots_p)
-        self.net, self.target, self.weight = _scatter_rows(
-            (self.net, self.target, self.weight), sl,
-            (net0, target0, jnp.zeros_like(target0)))
-
-        if self.corr_impl == "volume":
-            c = (ii_p == jj_p).astype(np.int64)  # stereo edges use right view
-            f1 = self.video.buf.fmaps[ii_d, 0]
-            f2 = self.video.buf.fmaps[jj_d, jnp.asarray(c)]
-            vols = _build_edge_volumes(f1, f2)
-            self.pyramid = _scatter_rows(self.pyramid, sl, vols)
+        buf = self.video.buf
+        with_volumes = self.corr_impl == "volume"
+        c = (ii_p == jj_p).astype(np.int64)  # stereo edges use right view
+        pyramid = self.pyramid if with_volumes else ()
+        self.net, self.target, self.weight, pyramid = _add_edges_device(
+            buf.poses, buf.disps, buf.intrinsics, buf.nets, buf.fmaps,
+            self.net, self.target, self.weight, pyramid,
+            jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(c),
+            jnp.asarray(slots_p), with_volumes)
+        if with_volumes:
+            self.pyramid = pyramid
 
         for n in range(k):
             self.edges.append([int(slots[n]), int(ii[n]), int(jj[n]), 0])
@@ -501,9 +531,12 @@ class FactorGraph:
     # ------------------------------------------------------------------
 
     def update(self, t0=None, t1=None, itrs=2, use_inactive=False, EP=1e-7,
-               motion_only=False, n_iters=1):
+               motion_only=False, n_iters=1, kf_pair=None, kf_beta=0.3):
         """Run n_iters x (GRU update + DBA(itrs)) as ONE fused device
-        dispatch (factor_graph.py:215-263 semantics per iteration)."""
+        dispatch (factor_graph.py:215-263 semantics per iteration).
+
+        kf_pair: optional (i, j) to also return the post-update frame
+        distance (the frontend's keyframe test, droid_frontend.py:94-98)."""
         if not self.edges:
             return
         ii, jj = self.ii, self.jj
@@ -548,14 +581,16 @@ class FactorGraph:
 
         valid = jnp.asarray(np.arange(EA) < len(ii))
         buf = self.video.buf
+        kf = None if kf_pair is None else jnp.asarray(kf_pair, jnp.int32)
         (poses, disps, damping, self.net, self.target, self.weight, eta,
-         upmask, disps_up) = _fused_update(
+         upmask, disps_up, kf_dist) = _fused_update(
             self.params, buf.poses, buf.disps, buf.disps_sens, buf.damping,
             buf.intrinsics, buf.inps, self.pyramid, self.net, self.target,
             self.weight, pad_idx(slots, 0), pad_idx(ii, 0), pad_idx(jj, 0),
             valid, jnp.asarray(g0), nw, self.lookup_impl,
             ba_shape, ba_plan, tgt_inac, wgt_inac,
-            1e-4, 0.1, n_iters, self.upsample)
+            1e-4, 0.1, n_iters, self.upsample, kf,
+            jnp.asarray(kf_beta, jnp.float32))
         self.video.buf = buf._replace(poses=poses, disps=disps,
                                       damping=damping)
 
@@ -566,6 +601,9 @@ class FactorGraph:
 
         for e in self.edges:
             e[3] += n_iters
+        if kf_pair is not None:
+            return kf_dist
+        return None
 
     # ------------------------------------------------------------------
     # reduced-memory global update (factor_graph.py:267-330)
