@@ -75,7 +75,8 @@ RMAX_BUCKETS = (8, 16, 32, 64, 128)
 
 
 def build_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
-               iters: int = 2, motion_only: bool = False, valid=None):
+               iters: int = 2, motion_only: bool = False, valid=None,
+               edges: int = None, rmax: int = None):
     """Build (BAShape, BAPlan) from a concrete edge list on the host.
 
     `valid` (optional bool mask over ii/jj) marks real edges when the caller
@@ -94,7 +95,10 @@ def build_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
     vj = jj[valid]
     g0 = int(min(vi.min(), vj.min(), t0)) if len(vi) else int(t0)
     nw = t1 - g0
-    E = _bucket(max(len(ii), 1), EDGE_BUCKETS)
+    # callers on the hot path pass a FIXED edge bucket so the compiled
+    # program's static key does not wobble frame-to-frame
+    E = edges if edges is not None else _bucket(max(len(ii), 1), EDGE_BUCKETS)
+    assert E >= len(ii), (E, len(ii))
     NW = _bucket(nw, WINDOW_BUCKETS)
 
     ii_p = np.full(E, g0, np.int32)
@@ -105,7 +109,7 @@ def build_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
     edge_valid[:len(ii)] = valid
 
     row_pose, row_depth, k_valid, rk_idx, RMAX = _build_rows(
-        vi, vj, ii_p, jj_p, edge_valid, t0, t1, g0, NW, E)
+        vi, vj, ii_p, jj_p, edge_valid, t0, t1, g0, NW, E, rmax_hint=rmax)
 
     shape = BAShape(edges=E, window=NW, rmax=RMAX, iters=iters,
                     motion_only=motion_only)
@@ -119,7 +123,8 @@ def build_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
     return shape, plan
 
 
-def _build_rows(vi, vj, ii_p, jj_p, edge_valid, t0, t1, g0, NW, E):
+def _build_rows(vi, vj, ii_p, jj_p, edge_valid, t0, t1, g0, NW, E,
+                rmax_hint=None):
     """Schur row table + per-depth-frame grouping; native C++ fast path
     (droid_slam_tpu/native/plan_builder.cpp) with a python fallback.
 
@@ -128,11 +133,16 @@ def _build_rows(vi, vj, ii_p, jj_p, edge_valid, t0, t1, g0, NW, E):
     slot e; invalid slots never join a Schur group)."""
     from .. import native
 
+    def pick_rmax(actual):
+        if rmax_hint is not None and actual <= rmax_hint:
+            return rmax_hint
+        return _bucket(max(actual, 1), RMAX_BUCKETS)
+
     res = native.build_ba_rows_masked(ii_p, jj_p, edge_valid, t0, t1, g0,
                                       NW, E, RMAX_BUCKETS[-1])
     if res is not None:
         row_pose, row_depth, k_valid, rk_full, rmax = res
-        RMAX = _bucket(max(rmax, 1), RMAX_BUCKETS)
+        RMAX = pick_rmax(rmax)
         return row_pose, row_depth, k_valid, rk_full[:, :RMAX], RMAX
 
     # ---- python fallback ------------------------------------------------
@@ -161,7 +171,7 @@ def _build_rows(vi, vj, ii_p, jj_p, edge_valid, t0, t1, g0, NW, E):
         if row_pose[r] >= 0:
             groups[row_depth[r]].append(r)
     rmax = max((len(g) for g in groups), default=1)
-    RMAX = _bucket(max(rmax, 1), RMAX_BUCKETS)
+    RMAX = pick_rmax(rmax)
     rk_idx = np.full((NW, RMAX), -1, np.int32)
     for k, g in enumerate(groups):
         rk_idx[k, :len(g)] = g

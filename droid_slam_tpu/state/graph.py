@@ -120,7 +120,8 @@ _update_core = jax.jit(_update_core_traced,
 def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
                   inps_buf, pyramid, nets_e, target, weight,
                   slots, ii, jj, valid, g0, nw: int, lookup_impl: str,
-                  ba_shape, ba_plan, tgt_inac, wgt_inac, lm, ep,
+                  ba_shape, ba_plan, target_inac_buf, weight_inac_buf,
+                  inac_slots, lm, ep,
                   n_iters: int, upsample: bool, kf_pair=None, kf_beta=0.3):
     """N x (ConvGRU update + DBA) fused into ONE XLA program — one dispatch
     per frontend call instead of ~8 (each dispatch costs ~10-20 ms over the
@@ -134,6 +135,8 @@ def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
     h, w = disps.shape[-2:]
     hw = h * w
     win = g0 + jnp.arange(nw)
+    tgt_inac = target_inac_buf[inac_slots]
+    wgt_inac = weight_inac_buf[inac_slots]
 
     def iteration(state, _):
         poses, disps, damping, nets_e, target, weight = state
@@ -315,7 +318,8 @@ def _scatter_rows(bufs, idx, values):
 class FactorGraph:
     def __init__(self, video: DepthVideo, params, max_factors: int = -1,
                  corr_impl: str = "volume", upsample: bool = False,
-                 capacity: int = 128, inactive_capacity: int = 128):
+                 capacity: int = 64, inactive_capacity: int = 2048,
+                 ba_inactive_bucket: int = 64, rmax: int = 32):
         self.video = video
         self.params = params
         self.max_factors = max_factors
@@ -326,6 +330,11 @@ class FactorGraph:
         # path cannot compile Mosaic kernels); XLA gather on CPU
         self.lookup_impl = ("tent" if jax.default_backend() != "cpu"
                             else "gather")
+        # compile-stability knobs: the fused update is keyed on these, so
+        # they must NOT wobble frame-to-frame (each recompile costs ~30 s
+        # over the deployment's remote-compile tunnel)
+        self.ba_inactive_bucket = ba_inactive_bucket
+        self.rmax = rmax
 
         self.h, self.w = video.h, video.w
         hw = self.h * self.w
@@ -541,7 +550,9 @@ class FactorGraph:
             return
         ii, jj = self.ii, self.jj
         slots = self._slots()
-        EA = _bucket(len(ii), ACTIVE_BUCKETS)
+        # EA == slot capacity: a FIXED bucket so the fused program's compile
+        # key stays stable frame-to-frame
+        EA = self.capacity
 
         if t0 is None:
             t0 = max(1, int(ii.min()) + 1)
@@ -556,28 +567,36 @@ class FactorGraph:
             out[:len(x)] = x
             return jnp.asarray(out)
 
-        # BA edge set: eligible inactive edges first, then the padded active
-        # bucket (fg.py:240-248); the plan is built for this exact layout
+        # BA edge set: inactive edges padded to a FIXED bucket, then the
+        # padded active bucket (fg.py:240-248); the plan is built for this
+        # exact layout so plan rows align with the device arrays
         if use_inactive and len(self.ii_inac):
             m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
             ii_inac, jj_inac = self.ii_inac[m], self.jj_inac[m]
-            tgt_inac = self.target_inac[jnp.asarray(self.inac_slots[m])]
-            wgt_inac = self.weight_inac[jnp.asarray(self.inac_slots[m])]
+            in_slots = self.inac_slots[m]
         else:
             ii_inac = np.zeros(0, np.int64)
             jj_inac = np.zeros(0, np.int64)
-            hw = self.h * self.w
-            tgt_inac = jnp.zeros((0, 2, hw), jnp.float32)
-            wgt_inac = jnp.zeros((0, 2, hw), jnp.float32)
+            in_slots = np.zeros(0, np.int64)
 
-        ii_full = np.concatenate([ii_inac, ii, np.full(EA - len(ii), t0)])
-        jj_full = np.concatenate([jj_inac, jj, np.full(EA - len(jj), t0)])
+        while len(ii_inac) > self.ba_inactive_bucket:
+            self.ba_inactive_bucket *= 2  # rare recompile
+        IB = self.ba_inactive_bucket
+        in_slots_p = np.zeros(IB, np.int64)
+        in_slots_p[:len(in_slots)] = in_slots
+
+        ii_full = np.concatenate(
+            [ii_inac, np.full(IB - len(ii_inac), t0), ii,
+             np.full(EA - len(ii), t0)])
+        jj_full = np.concatenate(
+            [jj_inac, np.full(IB - len(jj_inac), t0), jj,
+             np.full(EA - len(jj), t0)])
         valid_full = np.concatenate(
-            [np.ones(len(ii_inac), bool),
+            [np.ones(len(ii_inac), bool), np.zeros(IB - len(ii_inac), bool),
              np.ones(len(ii), bool), np.zeros(EA - len(ii), bool)])
         ba_shape, ba_plan = ba_inference.build_plan(
             ii_full, jj_full, t0, t1, iters=itrs, motion_only=motion_only,
-            valid=valid_full)
+            valid=valid_full, edges=IB + EA, rmax=self.rmax)
 
         valid = jnp.asarray(np.arange(EA) < len(ii))
         buf = self.video.buf
@@ -588,8 +607,8 @@ class FactorGraph:
             buf.intrinsics, buf.inps, self.pyramid, self.net, self.target,
             self.weight, pad_idx(slots, 0), pad_idx(ii, 0), pad_idx(jj, 0),
             valid, jnp.asarray(g0), nw, self.lookup_impl,
-            ba_shape, ba_plan, tgt_inac, wgt_inac,
-            1e-4, 0.1, n_iters, self.upsample, kf,
+            ba_shape, ba_plan, self.target_inac, self.weight_inac,
+            jnp.asarray(in_slots_p), 1e-4, 0.1, n_iters, self.upsample, kf,
             jnp.asarray(kf_beta, jnp.float32))
         self.video.buf = buf._replace(poses=poses, disps=disps,
                                       damping=damping)

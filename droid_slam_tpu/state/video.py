@@ -47,6 +47,18 @@ class VideoBuffers(NamedTuple):
     damping: jnp.ndarray
 
 
+@partial(jax.jit, static_argnames=("fields",), donate_argnames=("buf",))
+def _write_frame(buf: VideoBuffers, index, values: dict, fields: tuple):
+    """Write one keyframe's fields in a single dispatch (each eager
+    .at[].set would cost a full buffer copy + ~17 ms dispatch on the
+    deployment's TPU tunnel). `fields` is the static compile key."""
+    upd = {}
+    for name in fields:
+        arr = getattr(buf, name)
+        upd[name] = arr.at[index].set(values[name].astype(arr.dtype))
+    return buf._replace(**upd)
+
+
 @partial(jax.jit, donate_argnames=("buf",))
 def _shift_down(buf: VideoBuffers, ix, t):
     """Remove keyframe ix by shifting [ix+1, t) down one slot
@@ -123,34 +135,32 @@ class DepthVideo:
     def set_frame(self, index, tstamp, image=None, pose=None, disp=None,
                   depth=None, intrinsics=None, fmap=None, net=None, inp=None):
         """depth_video.py:78-109 semantics; `depth` is a full-res depth map
-        subsampled [3::8, 3::8] to inverse depth."""
-        b = self.buf
-        b = b._replace(tstamp=b.tstamp.at[index].set(tstamp))
+        subsampled [3::8, 3::8] to inverse depth. All provided fields are
+        written in ONE fused dispatch."""
         if image is not None:
             self.images[index] = np.asarray(image)
+
+        values = {"tstamp": jnp.asarray(tstamp, jnp.float32)}
         if pose is not None:
-            b = b._replace(poses=b.poses.at[index].set(jnp.asarray(pose)))
+            values["poses"] = jnp.asarray(pose)
         if disp is not None:
-            d = jnp.broadcast_to(jnp.asarray(disp, jnp.float32),
-                                 (self.h, self.w))
-            b = b._replace(disps=b.disps.at[index].set(d))
+            values["disps"] = jnp.broadcast_to(
+                jnp.asarray(disp, jnp.float32), (self.h, self.w))
         if depth is not None:
-            dep = jnp.asarray(depth, jnp.float32)[3::8, 3::8]
-            ds = jnp.where(dep > 0, 1.0 / jnp.where(dep > 0, dep, 1.0), 0.0)
-            b = b._replace(disps_sens=b.disps_sens.at[index].set(ds))
+            dep = np.asarray(depth, np.float32)[3::8, 3::8]
+            ds = np.where(dep > 0, 1.0 / np.where(dep > 0, dep, 1.0), 0.0)
+            values["disps_sens"] = jnp.asarray(ds)
         if intrinsics is not None:
-            b = b._replace(intrinsics=b.intrinsics.at[index].set(
-                jnp.asarray(intrinsics, jnp.float32)))
+            values["intrinsics"] = jnp.asarray(intrinsics, jnp.float32)
         if fmap is not None:
-            b = b._replace(fmaps=b.fmaps.at[index].set(
-                jnp.asarray(fmap, jnp.bfloat16)))
+            values["fmaps"] = jnp.asarray(fmap, jnp.bfloat16)
         if net is not None:
-            b = b._replace(nets=b.nets.at[index].set(
-                jnp.asarray(net, jnp.bfloat16)))
+            values["nets"] = jnp.asarray(net, jnp.bfloat16)
         if inp is not None:
-            b = b._replace(inps=b.inps.at[index].set(
-                jnp.asarray(inp, jnp.bfloat16)))
-        self.buf = b
+            values["inps"] = jnp.asarray(inp, jnp.bfloat16)
+
+        fields = tuple(sorted(values))
+        self.buf = _write_frame(self.buf, jnp.asarray(index), values, fields)
         if index >= self.counter:
             self.counter = index + 1
         self.dirty[index] = True
