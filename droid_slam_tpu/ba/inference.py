@@ -76,7 +76,7 @@ RMAX_BUCKETS = (8, 16, 32, 64, 128)
 
 def build_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
                iters: int = 2, motion_only: bool = False, valid=None,
-               edges: int = None, rmax: int = None):
+               edges: int = None, rmax: int = None, window: int = None):
     """Build (BAShape, BAPlan) from a concrete edge list on the host.
 
     `valid` (optional bool mask over ii/jj) marks real edges when the caller
@@ -99,7 +99,10 @@ def build_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
     # program's static key does not wobble frame-to-frame
     E = edges if edges is not None else _bucket(max(len(ii), 1), EDGE_BUCKETS)
     assert E >= len(ii), (E, len(ii))
-    NW = _bucket(nw, WINDOW_BUCKETS)
+    if window is not None and window >= nw:
+        NW = window
+    else:
+        NW = _bucket(nw, WINDOW_BUCKETS)
 
     ii_p = np.full(E, g0, np.int32)
     jj_p = np.full(E, g0, np.int32)
@@ -113,13 +116,12 @@ def build_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
 
     shape = BAShape(edges=E, window=NW, rmax=RMAX, iters=iters,
                     motion_only=motion_only)
+    # numpy-backed plan: callers either jit it (args become device arrays)
+    # or pack it into a single host->device transfer (state/graph.py)
     plan = BAPlan(
-        ii=jnp.asarray(ii_p), jj=jnp.asarray(jj_p),
-        edge_valid=jnp.asarray(edge_valid), k_valid=jnp.asarray(k_valid),
-        row_pose=jnp.asarray(row_pose), row_depth=jnp.asarray(row_depth),
-        rk_idx=jnp.asarray(rk_idx),
-        g0=jnp.asarray(g0, jnp.int32), t0=jnp.asarray(t0, jnp.int32),
-        t1=jnp.asarray(t1, jnp.int32))
+        ii=ii_p, jj=jj_p, edge_valid=edge_valid, k_valid=k_valid,
+        row_pose=row_pose, row_depth=row_depth, rk_idx=rk_idx,
+        g0=np.int32(g0), t0=np.int32(t0), t1=np.int32(t1))
     return shape, plan
 
 

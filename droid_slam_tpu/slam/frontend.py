@@ -112,14 +112,18 @@ class DroidFrontend:
             None, None, use_inactive=True, n_iters=self.iters1,
             kf_pair=(self.t1 - 4, self.t1 - 2), kf_beta=self.beta))
 
+        damping = self.motion_damping if self.motion_damping >= 0 else 0.0
         if d < 2 * self.keyframe_thresh:
             self.graph.rm_keyframe(self.t1 - 3)
             with self.video.get_lock():
                 self.video.counter -= 1
                 self.t1 -= 1
+            self._init_next_state()
         else:
+            # iters2 refinement with the next-frame motion model folded in
             self.graph.update(None, None, use_inactive=True,
-                              n_iters=self.iters2)
+                              n_iters=self.iters2, next_state_t1=self.t1,
+                              motion_damping=damping)
 
         self.video.dirty[int(self.graph.ii.min()):self.t1] = True
 
@@ -144,10 +148,10 @@ class DroidFrontend:
         self.graph.rm_factors(self.graph.ii < self.warmup - 4, store=True)
 
     def __call__(self):
-        """droid_frontend.py:153-164."""
+        """droid_frontend.py:153-164 (_update handles the next-frame motion
+        model itself — folded into its fused dispatch)."""
         if not self.is_initialized and self.video.counter == self.warmup:
             self._initialize()
             self._init_next_state()
         elif self.is_initialized and self.t1 < self.video.counter:
             self._update()
-            self._init_next_state()

@@ -113,25 +113,58 @@ _update_core = jax.jit(_update_core_traced,
                        static_argnames=("nw", "lookup_impl"))
 
 
-@partial(jax.jit, static_argnames=("nw", "lookup_impl", "n_iters",
-                                   "ba_shape", "upsample"),
+def _pack_indices(*arrays):
+    """Concatenate host index arrays into ONE int32 vector (a single
+    host->device transfer per frame instead of ~15 tunnel round trips)."""
+    return np.concatenate([np.asarray(a).reshape(-1).astype(np.int32)
+                           for a in arrays])
+
+
+@partial(jax.jit, static_argnames=("nw", "ea", "lookup_impl", "n_iters",
+                                   "ba_shape", "upsample", "use_kf",
+                                   "do_next_state"),
          donate_argnames=("poses", "disps", "damping", "nets_e", "target",
                           "weight"))
 def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
                   inps_buf, pyramid, nets_e, target, weight,
-                  slots, ii, jj, valid, g0, nw: int, lookup_impl: str,
-                  ba_shape, ba_plan, target_inac_buf, weight_inac_buf,
-                  inac_slots, lm, ep,
-                  n_iters: int, upsample: bool, kf_pair=None, kf_beta=0.3):
+                  target_inac_buf, weight_inac_buf, packed,
+                  nw: int, ea: int, lookup_impl: str,
+                  ba_shape, lm, ep, n_iters: int, upsample: bool,
+                  use_kf: bool, kf_beta=0.3, do_next_state: bool = False,
+                  motion_damping=0.0):
     """N x (ConvGRU update + DBA) fused into ONE XLA program — one dispatch
     per frontend call instead of ~8 (each dispatch costs ~10-20 ms over the
     deployment's TPU tunnel; fusing is also what lets XLA overlap the GRU
     convs with the BA linear algebra).
 
-    slots/ii/jj/valid: padded active-edge views; tgt_inac/wgt_inac: the
-    (constant) inactive-edge contributions already gathered, prepended to the
-    BA edge set whose plan was built on the host for the combined list.
+    `packed` carries every per-frame index table (BA plan, active-edge
+    views, inactive slots, keyframe probe) as one int32 vector; it is
+    unpacked here with static offsets.
     """
+    E = ba_shape.edges
+    NWp = ba_shape.window
+    RMAX = ba_shape.rmax
+    off = [0]
+
+    def take(n, shape=None):
+        a = jax.lax.dynamic_slice_in_dim(packed, off[0], n)
+        off[0] += n
+        return a.reshape(shape) if shape else a
+
+    plan = ba_inference.BAPlan(
+        ii=take(E), jj=take(E), edge_valid=take(E).astype(bool),
+        k_valid=take(NWp).astype(bool), row_pose=take(NWp + E),
+        row_depth=take(NWp + E), rk_idx=take(NWp * RMAX, (NWp, RMAX)),
+        g0=take(1)[0], t0=take(1)[0], t1=take(1)[0])
+    slots = take(ea)
+    ii = take(ea)
+    jj = take(ea)
+    valid = take(ea).astype(bool)
+    ib = packed.shape[0] - off[0] - 4
+    inac_slots = take(ib)
+    kf_pair = take(2)
+    g0 = take(1)[0]
+    ns_t1 = take(1)[0]
     h, w = disps.shape[-2:]
     hw = h * w
     win = g0 + jnp.arange(nw)
@@ -169,7 +202,7 @@ def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
                 [wgt_ba, jnp.zeros((pad, 2, hw), wgt_ba.dtype)], axis=0)
         poses, disps = ba_inference.ba_iterations(
             ba_shape, poses, disps, disps_sens, damping, intrinsics[0],
-            tgt_ba[:ba_shape.edges], wgt_ba[:ba_shape.edges], ba_plan, lm, ep)
+            tgt_ba[:ba_shape.edges], wgt_ba[:ba_shape.edges], plan, lm, ep)
         return (poses, disps, damping, nets_e, target, weight), (eta, upmask)
 
     state = (poses, disps, damping, nets_e, target, weight)
@@ -186,11 +219,22 @@ def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
     # optional keyframe-distance probe on the updated state
     # (droid_frontend.py:94-98), folded in to save a dispatch
     kf_dist = jnp.zeros(())
-    if kf_pair is not None:
+    if use_kf:
         from ..geom import distance as gdist
         kf_dist = gdist.frame_distance(
             poses, disps, intrinsics[0], kf_pair[:1], kf_pair[1:2],
             kf_beta, bidirectional=True)[0]
+
+    if do_next_state:
+        # droid_frontend.py:49-63 motion model for the next incoming frame
+        from ..lie import se3 as _se3
+        dwin = jax.lax.dynamic_slice_in_dim(disps, ns_t1 - 3, 2, axis=0)
+        p_prev = poses[ns_t1 - 1]
+        vel = _se3.log(_se3.mul(p_prev, _se3.inv(poses[ns_t1 - 2])))
+        new_pose = _se3.mul(_se3.exp(motion_damping * vel), p_prev)
+        poses = poses.at[ns_t1].set(new_pose)
+        disps = disps.at[ns_t1].set(jnp.quantile(dwin, 0.5))
+
     return (poses, disps, damping, nets_e, target, weight, eta_last,
             upmask_last, disps_up, kf_dist)
 
@@ -233,10 +277,9 @@ def _lookup_slots(vol, slots, coords, radius):
     return out.reshape(EA, HW, rd * rd)
 
 
-@partial(jax.jit, static_argnames=("nw",))
-def _lowmem_chunk_core(params, poses, disps, intrinsics, inps_buf, fpyr,
-                       nets_e, target, slots, ii, jj, ii_rows, jj_rows,
-                       valid, g0, nw: int):
+def _lowmem_chunk_core_traced(params, poses, disps, intrinsics, inps_buf,
+                              fpyr, nets_e, target, slots, ii, jj, ii_rows,
+                              jj_rows, valid, g0, nw: int):
     """One GRU iteration on a source-frame chunk of edges using on-the-fly
     correlation (factor_graph.py:285-307). fpyr: tuple of flattened
     [B*c, hl, wl, 128] feature pyramids."""
@@ -268,6 +311,63 @@ def _lowmem_chunk_core(params, poses, disps, intrinsics, inps_buf, fpyr,
     vm = valid[:, None, None].astype(jnp.float32)
     return (net, target_new * vm, weight_new * vm, eta.astype(jnp.float32),
             upmask)
+
+
+_lowmem_chunk_core = jax.jit(_lowmem_chunk_core_traced,
+                             static_argnames=("nw",))
+
+
+@partial(jax.jit, static_argnames=("nc", "ce", "ba_shape"),
+         donate_argnames=("poses", "disps", "damping", "nets_e", "target",
+                          "weight"))
+def _fused_lowmem_step(params, poses, disps, disps_sens, damping, intrinsics,
+                       inps_buf, fpyr, nets_e, target, weight,
+                       c_slots, c_ii, c_jj, c_iirows, c_jjrows, c_valid,
+                       c_g0, nc: int, ce: int,
+                       ba_shape, ba_plan, target_inac_buf, weight_inac_buf,
+                       inac_slots, lm, ep):
+    """One global-BA step (factor_graph.py:276-328) as ONE dispatch: the
+    chunked on-the-fly-correlation GRU sweep is a lax.scan over fixed-size
+    chunk tables, followed by a single dense BA over all edges."""
+    h, w = disps.shape[-2:]
+    hw = h * w
+    cap = nets_e.shape[0]
+
+    def chunk_body(state, inputs):
+        nets_e, target, weight, damping = state
+        slots, ii, jj, ii_rows, jj_rows, valid, g0c = inputs
+        net_e, tgt_e, wgt_e, eta, _ = _lowmem_chunk_core_traced(
+            params, poses, disps, intrinsics, inps_buf, fpyr, nets_e, target,
+            slots, ii, jj, ii_rows, jj_rows, valid, g0c, 8)
+        wslots = jnp.where(valid, slots, cap + 1)
+        nets_e = nets_e.at[wslots].set(net_e.astype(nets_e.dtype))
+        target = target.at[wslots].set(tgt_e)
+        weight = weight.at[wslots].set(wgt_e)
+        agg_ii = jnp.clip(ii - g0c, 0, 7)
+        present = jax.ops.segment_sum(
+            valid.astype(jnp.float32), agg_ii, num_segments=8) > 0
+        winc = g0c + jnp.arange(8)
+        damping = damping.at[winc].set(
+            jnp.where(present[:, None, None], eta, damping[winc]))
+        return (nets_e, target, weight, damping), None
+
+    state = (nets_e, target, weight, damping)
+    state, _ = jax.lax.scan(chunk_body, state,
+                            (c_slots, c_ii, c_jj, c_iirows, c_jjrows,
+                             c_valid, c_g0))
+    nets_e, target, weight, damping = state
+
+    # one dense BA over inactive + all active edges (fg.py:311-328)
+    act_slots = jnp.clip(c_slots.reshape(-1), 0, cap - 1)
+    # invalid rows carry garbage values; the BA plan's edge_valid zeroes them
+    tgt_ba = jnp.concatenate(
+        [target_inac_buf[inac_slots], target[act_slots]], axis=0)
+    wgt_ba = jnp.concatenate(
+        [weight_inac_buf[inac_slots], weight[act_slots]], axis=0)
+    poses, disps = ba_inference.ba_iterations(
+        ba_shape, poses, disps, disps_sens, damping, intrinsics[0],
+        tgt_ba[:ba_shape.edges], wgt_ba[:ba_shape.edges], ba_plan, lm, ep)
+    return poses, disps, damping, nets_e, target, weight
 
 
 @jax.jit
@@ -335,6 +435,7 @@ class FactorGraph:
         # over the deployment's remote-compile tunnel)
         self.ba_inactive_bucket = ba_inactive_bucket
         self.rmax = rmax
+        self.window_bucket = 16  # grows monotonically (see update())
 
         self.h, self.w = video.h, video.w
         hw = self.h * self.w
@@ -540,7 +641,8 @@ class FactorGraph:
     # ------------------------------------------------------------------
 
     def update(self, t0=None, t1=None, itrs=2, use_inactive=False, EP=1e-7,
-               motion_only=False, n_iters=1, kf_pair=None, kf_beta=0.3):
+               motion_only=False, n_iters=1, kf_pair=None, kf_beta=0.3,
+               next_state_t1=None, motion_damping=0.0):
         """Run n_iters x (GRU update + DBA(itrs)) as ONE fused device
         dispatch (factor_graph.py:215-263 semantics per iteration).
 
@@ -560,12 +662,16 @@ class FactorGraph:
             t1 = int(max(ii.max(), jj.max())) + 1
 
         g0 = int(min(ii.min(), jj.min(), t0 - 1))
-        nw = _bucket(t1 - g0, WINDOW_BUCKETS)
+        # pinned window bucket: grows monotonically, never shrinks, so the
+        # fused program's compile key stays put as the video extends
+        self.window_bucket = max(self.window_bucket,
+                                 _bucket(t1 - g0, WINDOW_BUCKETS))
+        nw = self.window_bucket
 
         def pad_idx(x, fill):
             out = np.full(EA, fill, np.int64)
             out[:len(x)] = x
-            return jnp.asarray(out)
+            return out
 
         # BA edge set: inactive edges padded to a FIXED bucket, then the
         # padded active bucket (fg.py:240-248); the plan is built for this
@@ -596,20 +702,31 @@ class FactorGraph:
              np.ones(len(ii), bool), np.zeros(EA - len(ii), bool)])
         ba_shape, ba_plan = ba_inference.build_plan(
             ii_full, jj_full, t0, t1, iters=itrs, motion_only=motion_only,
-            valid=valid_full, edges=IB + EA, rmax=self.rmax)
+            valid=valid_full, edges=IB + EA, rmax=self.rmax,
+            window=self.window_bucket)
+        self.window_bucket = max(self.window_bucket, ba_shape.window)
 
-        valid = jnp.asarray(np.arange(EA) < len(ii))
+        kf = (0, 0) if kf_pair is None else kf_pair
+        packed = _pack_indices(
+            ba_plan.ii, ba_plan.jj, ba_plan.edge_valid, ba_plan.k_valid,
+            ba_plan.row_pose, ba_plan.row_depth, ba_plan.rk_idx,
+            [int(ba_plan.g0)], [int(ba_plan.t0)], [int(ba_plan.t1)],
+            pad_idx(slots, 0), pad_idx(ii, 0), pad_idx(jj, 0),
+            (np.arange(EA) < len(ii)).astype(np.int32), in_slots_p,
+            np.asarray(kf, np.int32), [g0],
+            [0 if next_state_t1 is None else int(next_state_t1)])
+
         buf = self.video.buf
-        kf = None if kf_pair is None else jnp.asarray(kf_pair, jnp.int32)
         (poses, disps, damping, self.net, self.target, self.weight, eta,
          upmask, disps_up, kf_dist) = _fused_update(
             self.params, buf.poses, buf.disps, buf.disps_sens, buf.damping,
             buf.intrinsics, buf.inps, self.pyramid, self.net, self.target,
-            self.weight, pad_idx(slots, 0), pad_idx(ii, 0), pad_idx(jj, 0),
-            valid, jnp.asarray(g0), nw, self.lookup_impl,
-            ba_shape, ba_plan, self.target_inac, self.weight_inac,
-            jnp.asarray(in_slots_p), 1e-4, 0.1, n_iters, self.upsample, kf,
-            jnp.asarray(kf_beta, jnp.float32))
+            self.weight, self.target_inac, self.weight_inac,
+            jnp.asarray(packed), nw, EA, self.lookup_impl,
+            ba_shape, 1e-4, 0.1, n_iters, self.upsample,
+            kf_pair is not None, jnp.asarray(kf_beta, jnp.float32),
+            next_state_t1 is not None,
+            jnp.asarray(motion_damping, jnp.float32))
         self.video.buf = buf._replace(poses=poses, disps=disps,
                                       damping=damping)
 
@@ -631,13 +748,20 @@ class FactorGraph:
     def update_lowmem(self, t0=None, t1=None, itrs=2, use_inactive=False,
                       EP=1e-7, steps=8):
         """Global BA loop with on-the-fly (alt) correlation, chunked over
-        groups of 8 source frames to bound the GRU working set."""
+        groups of 8 source frames to bound the GRU working set.
+
+        The default path fuses each step (chunk sweep + BA) into a single
+        dispatch; the legacy per-chunk path remains for --upsample runs."""
         t = self.video.counter
         buf = self.video.buf
         B, c = buf.fmaps.shape[:2]
         # flatten the rig dim: frame n, camera k -> row n*c + k
         fpyr = corr_ops.build_fmap_pyramid(
             buf.fmaps.reshape(B * c, self.h, self.w, 128))
+
+        if not self.upsample:
+            self._update_lowmem_fused(fpyr, t, itrs, use_inactive, steps)
+            return
 
         for _ in range(steps):
             ii, jj = self.ii, self.jj
@@ -703,6 +827,87 @@ class FactorGraph:
                           lm=1e-5, ep=1e-2, motion_only=False)
             buf = self.video.buf
             self.video.dirty[:t] = True
+
+    def _update_lowmem_fused(self, fpyr, t, itrs, use_inactive, steps):
+        """Single-dispatch-per-step global BA (chunk tables built once)."""
+        ii, jj = self.ii, self.jj
+        slots = self._slots()
+        B, c = self.video.buf.fmaps.shape[:2]
+        i_min, i_max = int(ii.min()), int(jj.max())
+
+        starts = list(range(i_min, i_max + 1, 8))
+        chunks = [np.nonzero((ii >= i) & (ii < i + 8))[0] for i in starts]
+        starts = [s for s, v in zip(starts, chunks) if len(v)]
+        chunks = [v for v in chunks if len(v)]
+        NC = _bucket(len(chunks), (2, 4, 8, 16, 32, 64, 128))
+        CE = _bucket(max(len(v) for v in chunks),
+                     (32, 64, 128, 256, 512, 1024))
+
+        jj_rows = jj * c + (ii == jj).astype(np.int64)
+        ii_rows = ii * c
+        c_slots = np.zeros((NC, CE), np.int64)
+        c_ii = np.zeros((NC, CE), np.int64)
+        c_jj = np.zeros((NC, CE), np.int64)
+        c_iir = np.zeros((NC, CE), np.int64)
+        c_jjr = np.zeros((NC, CE), np.int64)
+        c_valid = np.zeros((NC, CE), bool)
+        c_g0 = np.full(NC, i_min, np.int64)
+        ii_flat = np.full(NC * CE, 1, np.int64)
+        jj_flat = np.full(NC * CE, 1, np.int64)
+        for k, (s, v) in enumerate(zip(starts, chunks)):
+            n = len(v)
+            c_slots[k, :n] = slots[v]
+            c_ii[k, :n] = ii[v]
+            c_jj[k, :n] = jj[v]
+            c_iir[k, :n] = ii_rows[v]
+            c_jjr[k, :n] = jj_rows[v]
+            c_valid[k, :n] = True
+            c_g0[k] = s
+            ii_flat[k * CE:k * CE + n] = ii[v]
+            jj_flat[k * CE:k * CE + n] = jj[v]
+
+        # BA plan over [inactive | flattened chunk edges]
+        if use_inactive and len(self.ii_inac):
+            ii_inac, jj_inac = self.ii_inac, self.jj_inac
+            in_slots = self.inac_slots
+        else:
+            ii_inac = np.zeros(0, np.int64)
+            jj_inac = np.zeros(0, np.int64)
+            in_slots = np.zeros(0, np.int64)
+        while len(ii_inac) > self.ba_inactive_bucket:
+            self.ba_inactive_bucket *= 2
+        IB = self.ba_inactive_bucket
+        in_slots_p = np.zeros(IB, np.int64)
+        in_slots_p[:len(in_slots)] = in_slots
+
+        ii_full = np.concatenate(
+            [ii_inac, np.full(IB - len(ii_inac), 1), ii_flat])
+        jj_full = np.concatenate(
+            [jj_inac, np.full(IB - len(jj_inac), 1), jj_flat])
+        valid_full = np.concatenate(
+            [np.ones(len(ii_inac), bool), np.zeros(IB - len(ii_inac), bool),
+             c_valid.reshape(-1)])
+        ba_shape, ba_plan = ba_inference.build_plan(
+            ii_full, jj_full, 1, t, iters=itrs, valid=valid_full,
+            edges=IB + NC * CE, rmax=self.rmax)
+
+        dev = jnp.asarray
+        for _ in range(steps):
+            buf = self.video.buf
+            (poses, disps, damping, self.net, self.target,
+             self.weight) = _fused_lowmem_step(
+                self.params, buf.poses, buf.disps, buf.disps_sens,
+                buf.damping, buf.intrinsics, buf.inps, fpyr,
+                self.net, self.target, self.weight,
+                dev(c_slots), dev(c_ii), dev(c_jj), dev(c_iir), dev(c_jjr),
+                dev(c_valid), dev(c_g0), NC, CE, ba_shape, ba_plan,
+                self.target_inac, self.weight_inac, dev(in_slots_p),
+                1e-5, 1e-2)
+            self.video.buf = buf._replace(poses=poses, disps=disps,
+                                          damping=damping)
+            for e in self.edges:
+                e[3] += 1
+        self.video.dirty[:t] = True
 
     # ------------------------------------------------------------------
     # edge proposers (factor_graph.py:332-412)
