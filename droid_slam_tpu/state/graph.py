@@ -435,7 +435,7 @@ class FactorGraph:
         # over the deployment's remote-compile tunnel)
         self.ba_inactive_bucket = ba_inactive_bucket
         self.rmax = rmax
-        self.window_bucket = 16  # grows monotonically (see update())
+        self.window_bucket = 32  # grows monotonically (see update())
 
         self.h, self.w = video.h, video.w
         hw = self.h * self.w
