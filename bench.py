@@ -136,15 +136,26 @@ def main():
     def frame(t):
         return np.roll(base, shift=4 * t, axis=1)
 
+    trace = os.environ.get("BENCH_TRACE", "") == "1"
     t = 0
     for _ in range(n_warm):
+        tic = time.perf_counter()
         droid.track(float(t), frame(t), intrinsics=intr)
+        if trace:
+            jax.block_until_ready(droid.video.buf.poses)
+            print(f"warm frame {t}: "
+                  f"{(time.perf_counter() - tic) * 1000:.0f} ms", flush=True)
         t += 1
 
     jax.block_until_ready(droid.video.buf.poses)
     tic = time.perf_counter()
     for _ in range(n_meas):
+        tif = time.perf_counter()
         droid.track(float(t), frame(t), intrinsics=intr)
+        if trace:
+            jax.block_until_ready(droid.video.buf.poses)
+            print(f"meas frame {t}: "
+                  f"{(time.perf_counter() - tif) * 1000:.0f} ms", flush=True)
         t += 1
     jax.block_until_ready(droid.video.buf.poses)
     dt = time.perf_counter() - tic

@@ -30,6 +30,9 @@ class Droid:
         self.filterx = MotionFilter(self.params, self.video,
                                     thresh=config.filter_thresh)
         self.frontend = DroidFrontend(self.params, self.video, config)
+        # speculative proximity-distance plumbing (one sync per frame)
+        self.frontend.motion_filter = self.filterx
+        self.filterx.proximity_probe = self.frontend.proximity_pairs
         self.backend = DroidBackend(self.params, self.video, config)
         self.traj_filler = PoseTrajectoryFiller(self.params, self.video)
 

@@ -76,6 +76,23 @@ class DroidFrontend:
         self.frontend_radius = args.frontend_radius
         self.depth_window = 3
         self.motion_damping = getattr(args, "motion_damping", 0.0)
+        self.motion_filter = None  # wired by the Droid facade
+        self._probe_key = None
+
+    def proximity_pairs(self):
+        """Candidate pair list for the NEXT _update's proximity proposal —
+        computed speculatively in the motion filter's dispatch so the
+        distance matrix arrives with the admission test (one sync)."""
+        if not self.is_initialized:
+            self._probe_key = None
+            return np.zeros(1, np.int64), np.zeros(1, np.int64), self.beta
+        t = self.video.counter + 1
+        t1n = self.t1 + 1
+        ix = np.arange(t1n - 5, t)
+        jx = np.arange(max(t1n - self.frontend_window, 0), t)
+        ii, jj = np.meshgrid(ix, jx, indexing="ij")
+        self._probe_key = (t, t1n)
+        return ii.reshape(-1), jj.reshape(-1), self.beta
 
     # ------------------------------------------------------------------
 
@@ -97,10 +114,17 @@ class DroidFrontend:
         if self.graph.edges:
             self.graph.rm_factors(self.graph.age > self.max_age, store=True)
 
+        dist = None
+        mf = self.motion_filter
+        if (mf is not None and mf.pending_distance is not None
+                and self._probe_key == (self.video.counter, self.t1)):
+            dist = mf.pending_distance
+
         self.graph.add_proximity_factors(
             self.t1 - 5, max(self.t1 - self.frontend_window, 0),
             rad=self.frontend_radius, nms=self.frontend_nms,
-            thresh=self.frontend_thresh, beta=self.beta, remove=True)
+            thresh=self.frontend_thresh, beta=self.beta, remove=True,
+            dist=dist)
 
         # RGB-D: overwrite disparity where the sensor is valid (fe.py:84-88)
         buf = self.video.buf

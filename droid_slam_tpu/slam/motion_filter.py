@@ -39,10 +39,15 @@ _encode_fnet = jax.jit(_encode_fnet_raw)
 
 
 @jax.jit
-def _encode_and_delta(params, images_bgr, fmap_prev, net_prev, inp_prev):
+def _encode_and_delta(params, images_bgr, fmap_prev, net_prev, inp_prev,
+                      poses, disps, intr0, pair_ii, pair_jj, beta):
     """fnet on the incoming frame + one zero-flow update iteration against
-    the last keyframe (motion_filter.py:66-81), fused into one dispatch.
-    Returns (gmap [C,h,w,128], mean ||delta||)."""
+    the last keyframe (motion_filter.py:66-81), fused into one dispatch —
+    plus the proximity frame-distance probe the frontend will need if this
+    frame is admitted (speculative; avoids a second sync round trip).
+
+    Returns (gmap [C,h,w,128], merged [1+P]) where merged[0] is the mean
+    ||delta|| and merged[1:] the pairwise distances."""
     gmap = _encode_fnet_raw(params, images_bgr)
     h, w = gmap.shape[1], gmap.shape[2]
     coords0 = pops.coords_grid(h, w)[None]
@@ -51,11 +56,17 @@ def _encode_and_delta(params, images_bgr, fmap_prev, net_prev, inp_prev):
     corr = corr_ops.lookup_pyramid(pyramid, coords0).astype(jnp.bfloat16)
     _, delta, _ = nets.update_module(params, net_prev[None], inp_prev[None],
                                      corr)
-    return gmap, jnp.mean(jnp.linalg.norm(delta.astype(jnp.float32), axis=-1))
+    dn = jnp.mean(jnp.linalg.norm(delta.astype(jnp.float32), axis=-1))
+
+    from ..geom import distance as gdist
+    d = gdist.frame_distance(poses, disps, intr0, pair_ii, pair_jj, beta,
+                             bidirectional=True)
+    return gmap, jnp.concatenate([dn[None], d])
 
 
 class MotionFilter:
-    def __init__(self, params, video, thresh: float = 2.5):
+    def __init__(self, params, video, thresh: float = 2.5,
+                 proximity_probe=None):
         self.params = params
         self.video = video
         self.thresh = thresh
@@ -63,6 +74,11 @@ class MotionFilter:
         self.fmap = None
         self.net = None
         self.inp = None
+        # callable () -> (pair_ii, pair_jj, beta) for the frontend's next
+        # proximity proposal; the distances are computed speculatively in the
+        # same dispatch as the admission test (one sync instead of two)
+        self.proximity_probe = proximity_probe
+        self.pending_distance = None
 
     def track(self, tstamp, image, depth=None, intrinsics=None):
         """image: [C,H,W,3] uint8 BGR host array (C=1 mono, 2 stereo);
@@ -85,9 +101,27 @@ class MotionFilter:
                 fmap=gmap, net=net[0], inp=inp[0])
             return
 
-        gmap, delta = _encode_and_delta(self.params, img_dev, self.fmap[0],
-                                        self.net, self.inp)
-        delta = float(delta)
+        if self.proximity_probe is not None:
+            pair_ii, pair_jj, beta = self.proximity_probe()
+        else:
+            pair_ii, pair_jj, beta = np.zeros(1, np.int64), \
+                np.zeros(1, np.int64), 0.3
+        n_pairs = len(pair_ii)
+        pb = 1
+        while pb < max(n_pairs, 64):
+            pb *= 2
+        pi = np.zeros(pb, np.int64); pi[:n_pairs] = pair_ii
+        pj = np.zeros(pb, np.int64); pj[:n_pairs] = pair_jj
+
+        buf = self.video.buf
+        gmap, merged = _encode_and_delta(
+            self.params, img_dev, self.fmap[0], self.net, self.inp,
+            buf.poses, buf.disps, buf.intrinsics[0],
+            jnp.asarray(pi), jnp.asarray(pj),
+            jnp.asarray(beta, jnp.float32))
+        merged = np.asarray(merged)  # ONE sync round trip
+        delta = float(merged[0])
+        self.pending_distance = merged[1:1 + n_pairs]
         if delta > self.thresh:
             self.count = 0
             _, net, inp = _encode_all(self.params, img_dev[:1])

@@ -120,18 +120,16 @@ def _pack_indices(*arrays):
                            for a in arrays])
 
 
-@partial(jax.jit, static_argnames=("nw", "ea", "lookup_impl", "n_iters",
-                                   "ba_shape", "upsample", "use_kf",
-                                   "do_next_state"),
+@partial(jax.jit, static_argnames=("nw", "ea", "lookup_impl",
+                                   "ba_shape", "upsample"),
          donate_argnames=("poses", "disps", "damping", "nets_e", "target",
                           "weight"))
 def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
                   inps_buf, pyramid, nets_e, target, weight,
                   target_inac_buf, weight_inac_buf, packed,
                   nw: int, ea: int, lookup_impl: str,
-                  ba_shape, lm, ep, n_iters: int, upsample: bool,
-                  use_kf: bool, kf_beta=0.3, do_next_state: bool = False,
-                  motion_damping=0.0):
+                  ba_shape, lm, ep, n_iters, upsample: bool,
+                  kf_beta=0.3, do_next_state=0, motion_damping=0.0):
     """N x (ConvGRU update + DBA) fused into ONE XLA program — one dispatch
     per frontend call instead of ~8 (each dispatch costs ~10-20 ms over the
     deployment's TPU tunnel; fusing is also what lets XLA overlap the GRU
@@ -139,7 +137,10 @@ def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
 
     `packed` carries every per-frame index table (BA plan, active-edge
     views, inactive slots, keyframe probe) as one int32 vector; it is
-    unpacked here with static offsets.
+    unpacked here with static offsets. The iteration count and the
+    next-state flag are DYNAMIC (fori_loop / where), so one compiled program
+    serves every frontend call — each distinct compile of this program costs
+    many minutes on the deployment's remote compiler.
     """
     E = ba_shape.edges
     NWp = ba_shape.window
@@ -171,8 +172,8 @@ def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
     tgt_inac = target_inac_buf[inac_slots]
     wgt_inac = weight_inac_buf[inac_slots]
 
-    def iteration(state, _):
-        poses, disps, damping, nets_e, target, weight = state
+    def iteration(state):
+        poses, disps, damping, nets_e, target, weight, _, _ = state
         net_e, tgt_e, wgt_e, eta, upmask, _ = _update_core_traced(
             params, poses, disps, intrinsics, inps_buf, pyramid, nets_e,
             target, weight, slots, ii, jj, valid, g0, nw, lookup_impl)
@@ -203,37 +204,40 @@ def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
         poses, disps = ba_inference.ba_iterations(
             ba_shape, poses, disps, disps_sens, damping, intrinsics[0],
             tgt_ba[:ba_shape.edges], wgt_ba[:ba_shape.edges], plan, lm, ep)
-        return (poses, disps, damping, nets_e, target, weight), (eta, upmask)
+        return (poses, disps, damping, nets_e, target, weight, eta,
+                upmask.astype(jnp.bfloat16))
 
-    state = (poses, disps, damping, nets_e, target, weight)
-    state, (etas, upmasks) = jax.lax.scan(iteration, state, None,
-                                          length=n_iters)
-    poses, disps, damping, nets_e, target, weight = state
-    eta_last = etas[-1]
-    upmask_last = upmasks[-1]
+    h8, w8 = disps.shape[-2:]
+    state = (poses, disps, damping, nets_e, target, weight,
+             jnp.zeros((nw, h8, w8)),
+             jnp.zeros((nw, h8, w8, 576), jnp.bfloat16))
+    state = jax.lax.fori_loop(0, n_iters, lambda _, s: iteration(s), state)
+    (poses, disps, damping, nets_e, target, weight, eta_last,
+     upmask_last) = state
 
     disps_up = None
     if upsample:
-        disps_up = nets.upsample_disp(disps[win], upmask_last)
+        disps_up = nets.upsample_disp(disps[win], upmask_last.astype(
+            jnp.float32))
 
-    # optional keyframe-distance probe on the updated state
-    # (droid_frontend.py:94-98), folded in to save a dispatch
-    kf_dist = jnp.zeros(())
-    if use_kf:
-        from ..geom import distance as gdist
-        kf_dist = gdist.frame_distance(
-            poses, disps, intrinsics[0], kf_pair[:1], kf_pair[1:2],
-            kf_beta, bidirectional=True)[0]
+    # keyframe-distance probe on the updated state (droid_frontend.py:94-98)
+    from ..geom import distance as gdist
+    kf_dist = gdist.frame_distance(
+        poses, disps, intrinsics[0], kf_pair[:1], kf_pair[1:2],
+        kf_beta, bidirectional=True)[0]
 
-    if do_next_state:
-        # droid_frontend.py:49-63 motion model for the next incoming frame
-        from ..lie import se3 as _se3
-        dwin = jax.lax.dynamic_slice_in_dim(disps, ns_t1 - 3, 2, axis=0)
-        p_prev = poses[ns_t1 - 1]
-        vel = _se3.log(_se3.mul(p_prev, _se3.inv(poses[ns_t1 - 2])))
-        new_pose = _se3.mul(_se3.exp(motion_damping * vel), p_prev)
-        poses = poses.at[ns_t1].set(new_pose)
-        disps = disps.at[ns_t1].set(jnp.quantile(dwin, 0.5))
+    # droid_frontend.py:49-63 motion model for the next incoming frame,
+    # applied only when the dynamic flag is set
+    from ..lie import se3 as _se3
+    dwin = jax.lax.dynamic_slice_in_dim(disps, ns_t1 - 3, 2, axis=0)
+    p_prev = poses[ns_t1 - 1]
+    vel = _se3.log(_se3.mul(p_prev, _se3.inv(poses[ns_t1 - 2])))
+    new_pose = _se3.mul(_se3.exp(motion_damping * vel), p_prev)
+    on = do_next_state > 0
+    poses = poses.at[ns_t1].set(
+        jnp.where(on, new_pose, poses[ns_t1]))
+    disps = disps.at[ns_t1].set(
+        jnp.where(on, jnp.quantile(dwin, 0.5), disps[ns_t1]))
 
     return (poses, disps, damping, nets_e, target, weight, eta_last,
             upmask_last, disps_up, kf_dist)
@@ -723,9 +727,9 @@ class FactorGraph:
             buf.intrinsics, buf.inps, self.pyramid, self.net, self.target,
             self.weight, self.target_inac, self.weight_inac,
             jnp.asarray(packed), nw, EA, self.lookup_impl,
-            ba_shape, 1e-4, 0.1, n_iters, self.upsample,
-            kf_pair is not None, jnp.asarray(kf_beta, jnp.float32),
-            next_state_t1 is not None,
+            ba_shape, 1e-4, 0.1, jnp.asarray(n_iters, jnp.int32),
+            self.upsample, jnp.asarray(kf_beta, jnp.float32),
+            jnp.asarray(0 if next_state_t1 is None else 1, jnp.int32),
             jnp.asarray(motion_damping, jnp.float32))
         self.video.buf = buf._replace(poses=poses, disps=disps,
                                       damping=damping)
@@ -922,7 +926,7 @@ class FactorGraph:
         self.add_factors(ii[keep], jj[keep])
 
     def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
-                              thresh=16.0, remove=False):
+                              thresh=16.0, remove=False, dist=None):
         t = self.video.counter
         ix = np.arange(t0, t)
         jx = np.arange(t1, t)
@@ -931,7 +935,11 @@ class FactorGraph:
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
         ii, jj = ii.reshape(-1), jj.reshape(-1)
 
-        d = np.asarray(self.video.distance(ii, jj, beta=beta)).astype(np.float64)
+        if dist is not None and len(dist) == len(ii):
+            d = np.asarray(dist, np.float64)  # precomputed (speculative)
+        else:
+            d = np.asarray(self.video.distance(ii, jj,
+                                               beta=beta)).astype(np.float64)
 
         # native greedy NMS proposer (droid_slam_tpu/native/plan_builder.cpp)
         from .. import native
