@@ -120,7 +120,9 @@ def main():
     from droid_slam_tpu.slam import Droid
 
     H, W = 320, 512
-    n_warm, n_meas = 18, 12
+    # warmup must cover every compile path (init, steady updates, the first
+    # age-based evictions at frame ~21)
+    n_warm, n_meas = 26, 12
 
     cfg = DroidConfig(buffer=64, image_size=(H, W), warmup=8,
                       filter_thresh=-1.0,      # admit every frame

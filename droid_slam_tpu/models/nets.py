@@ -76,18 +76,29 @@ def extract_features(params, images_bgr_u8, compute_dtype=jnp.float32):
 
 def conv_gru(params, net, inp):
     """net [E,h,w,128], inp [E,h,w,192+128] concat of (corr, flow) features
-    plus context; returns updated net."""
+    plus context; returns updated net.
+
+    MXU packing: the z and r gates share their input, so their 3x3 convs are
+    merged into one 256-channel conv; likewise the three 1x1 global-context
+    convs become one 384-channel matmul (same math as gru.py:19-32)."""
     net_inp = jnp.concatenate([net, inp], axis=-1)
     glo = jax.nn.sigmoid(conv2d(params, "update.gru.w", net)) * net
     glo = jnp.mean(glo, axis=(1, 2), keepdims=True)
 
-    z = jax.nn.sigmoid(conv2d(params, "update.gru.convz", net_inp)
-                       + conv2d(params, "update.gru.convz_glo", glo))
-    r = jax.nn.sigmoid(conv2d(params, "update.gru.convr", net_inp)
-                       + conv2d(params, "update.gru.convr_glo", glo))
+    def merged(names, x):
+        w = jnp.concatenate([params[n + ".weight"] for n in names], axis=-1)
+        b = jnp.concatenate([params[n + ".bias"] for n in names], axis=-1)
+        return conv2d({"m.weight": w, "m.bias": b}, "m", x)
+
+    glo_zrq = merged(["update.gru.convz_glo", "update.gru.convr_glo",
+                      "update.gru.convq_glo"], glo)
+    gz, gr, gq = jnp.split(glo_zrq, 3, axis=-1)
+
+    zr = merged(["update.gru.convz", "update.gru.convr"], net_inp)
+    z = jax.nn.sigmoid(zr[..., :128] + gz)
+    r = jax.nn.sigmoid(zr[..., 128:] + gr)
     q = jnp.tanh(conv2d(params, "update.gru.convq",
-                        jnp.concatenate([r * net, inp], axis=-1))
-                 + conv2d(params, "update.gru.convq_glo", glo))
+                        jnp.concatenate([r * net, inp], axis=-1)) + gq)
     return (1.0 - z) * net + z * q
 
 

@@ -131,12 +131,16 @@ class DroidFrontend:
         self.video.buf = buf._replace(disps=_sensor_overwrite(
             buf.disps, buf.disps_sens, jnp.asarray(self.t1 - 1)))
 
-        # keyframe-distance probe folded into the fused update dispatch
+        # ONE dispatch: iters1 updates -> keyframe-distance probe ->
+        # (conditionally, on-device) iters2 refinement + next-frame motion
+        # model; the host syncs only the probe value for its bookkeeping
+        damping = self.motion_damping if self.motion_damping >= 0 else 0.0
         d = float(self.graph.update(
             None, None, use_inactive=True, n_iters=self.iters1,
-            kf_pair=(self.t1 - 4, self.t1 - 2), kf_beta=self.beta))
+            kf_pair=(self.t1 - 4, self.t1 - 2), kf_beta=self.beta,
+            n_iters2=self.iters2, kf_thresh=self.keyframe_thresh,
+            next_state_t1=self.t1, motion_damping=damping))
 
-        damping = self.motion_damping if self.motion_damping >= 0 else 0.0
         if d < 2 * self.keyframe_thresh:
             self.graph.rm_keyframe(self.t1 - 3)
             with self.video.get_lock():
@@ -144,10 +148,7 @@ class DroidFrontend:
                 self.t1 -= 1
             self._init_next_state()
         else:
-            # iters2 refinement with the next-frame motion model folded in
-            self.graph.update(None, None, use_inactive=True,
-                              n_iters=self.iters2, next_state_t1=self.t1,
-                              motion_damping=damping)
+            self.graph.bump_age(self.iters2)
 
         self.video.dirty[int(self.graph.ii.min()):self.t1] = True
 

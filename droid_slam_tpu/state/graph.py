@@ -129,7 +129,8 @@ def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
                   target_inac_buf, weight_inac_buf, packed,
                   nw: int, ea: int, lookup_impl: str,
                   ba_shape, lm, ep, n_iters, upsample: bool,
-                  kf_beta=0.3, do_next_state=0, motion_damping=0.0):
+                  kf_beta=0.3, do_next_state=0, motion_damping=0.0,
+                  n_iters2=0, kf_thresh=-1.0):
     """N x (ConvGRU update + DBA) fused into ONE XLA program — one dispatch
     per frontend call instead of ~8 (each dispatch costs ~10-20 ms over the
     deployment's TPU tunnel; fusing is also what lets XLA overlap the GRU
@@ -212,6 +213,20 @@ def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
              jnp.zeros((nw, h8, w8)),
              jnp.zeros((nw, h8, w8, 576), jnp.bfloat16))
     state = jax.lax.fori_loop(0, n_iters, lambda _, s: iteration(s), state)
+
+    # keyframe-distance probe on the updated state (droid_frontend.py:94-98)
+    from ..geom import distance as gdist
+    kf_dist = gdist.frame_distance(
+        state[0], state[1], intrinsics[0], kf_pair[:1], kf_pair[1:2],
+        kf_beta, bidirectional=True)[0]
+    keep_kf = kf_dist >= 2.0 * kf_thresh
+
+    # refinement iterations run only when the keyframe is kept
+    # (droid_frontend.py:98-107) — conditional inside the same dispatch
+    state = jax.lax.cond(
+        keep_kf,
+        lambda s: jax.lax.fori_loop(0, n_iters2, lambda _, x: iteration(x), s),
+        lambda s: s, state)
     (poses, disps, damping, nets_e, target, weight, eta_last,
      upmask_last) = state
 
@@ -220,20 +235,14 @@ def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
         disps_up = nets.upsample_disp(disps[win], upmask_last.astype(
             jnp.float32))
 
-    # keyframe-distance probe on the updated state (droid_frontend.py:94-98)
-    from ..geom import distance as gdist
-    kf_dist = gdist.frame_distance(
-        poses, disps, intrinsics[0], kf_pair[:1], kf_pair[1:2],
-        kf_beta, bidirectional=True)[0]
-
     # droid_frontend.py:49-63 motion model for the next incoming frame,
-    # applied only when the dynamic flag is set
+    # applied when requested and the keyframe was kept
     from ..lie import se3 as _se3
     dwin = jax.lax.dynamic_slice_in_dim(disps, ns_t1 - 3, 2, axis=0)
     p_prev = poses[ns_t1 - 1]
     vel = _se3.log(_se3.mul(p_prev, _se3.inv(poses[ns_t1 - 2])))
     new_pose = _se3.mul(_se3.exp(motion_damping * vel), p_prev)
-    on = do_next_state > 0
+    on = (do_next_state > 0) & keep_kf
     poses = poses.at[ns_t1].set(
         jnp.where(on, new_pose, poses[ns_t1]))
     disps = disps.at[ns_t1].set(
@@ -646,7 +655,8 @@ class FactorGraph:
 
     def update(self, t0=None, t1=None, itrs=2, use_inactive=False, EP=1e-7,
                motion_only=False, n_iters=1, kf_pair=None, kf_beta=0.3,
-               next_state_t1=None, motion_damping=0.0):
+               next_state_t1=None, motion_damping=0.0, n_iters2=0,
+               kf_thresh=-1.0):
         """Run n_iters x (GRU update + DBA(itrs)) as ONE fused device
         dispatch (factor_graph.py:215-263 semantics per iteration).
 
@@ -730,7 +740,9 @@ class FactorGraph:
             ba_shape, 1e-4, 0.1, jnp.asarray(n_iters, jnp.int32),
             self.upsample, jnp.asarray(kf_beta, jnp.float32),
             jnp.asarray(0 if next_state_t1 is None else 1, jnp.int32),
-            jnp.asarray(motion_damping, jnp.float32))
+            jnp.asarray(motion_damping, jnp.float32),
+            jnp.asarray(n_iters2, jnp.int32),
+            jnp.asarray(kf_thresh, jnp.float32))
         self.video.buf = buf._replace(poses=poses, disps=disps,
                                       damping=damping)
 
@@ -744,6 +756,11 @@ class FactorGraph:
         if kf_pair is not None:
             return kf_dist
         return None
+
+    def bump_age(self, n):
+        """Account iterations that ran conditionally on-device."""
+        for e in self.edges:
+            e[3] += n
 
     # ------------------------------------------------------------------
     # reduced-memory global update (factor_graph.py:267-330)
