@@ -38,10 +38,15 @@ class DroidAsync:
         self.params = (weights_io.load(config.weights) if config.weights
                        else nets.init_params(jax.random.PRNGKey(0)))
 
+        # frontend/backend on separate devices when available
+        # (droid_async.py:142-159 --frontend_device/--backend_device)
+        devs = jax.devices()
+        front_dev = devs[0]
+        back_dev = devs[1] if len(devs) > 1 else devs[0]
         self.video = DepthVideo(config.image_size, config.buffer,
-                                stereo=config.stereo)
+                                stereo=config.stereo, device=front_dev)
         self.video2 = DepthVideo(config.image_size, config.buffer,
-                                 stereo=config.stereo)
+                                 stereo=config.stereo, device=back_dev)
         self.filterx = MotionFilter(self.params, self.video,
                                     thresh=config.filter_thresh)
         self.frontend = DroidFrontend(self.params, self.video, config)
@@ -69,9 +74,12 @@ class DroidAsync:
             return
 
         with v1.get_lock():
-            poses1 = v1.buf.poses + 0
-            disps1 = v1.buf.disps + 0
             src = v1.buf
+            if v2.device is not None and v2.device != v1.device:
+                # explicit cross-device copy (droid_async.py:74-119 .to())
+                src = jax.device_put(src, v2.device)
+            poses1 = src.poses + 0
+            disps1 = src.disps + 0
 
         if t0 > 0:
             lo = max(t0 - 10, 0)

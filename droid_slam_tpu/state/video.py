@@ -91,6 +91,8 @@ class DepthVideo:
 
     def __init__(self, image_size=(480, 640), buffer: int = 512,
                  stereo: bool = False, device=None):
+        """device: optional jax.Device pinning this video's buffers (the
+        frontend/backend two-device split of droid_async.py:142-159)."""
         ht, wd = image_size
         self.ht, self.wd = ht, wd
         self.h, self.w = ht // 8, wd // 8
@@ -113,6 +115,9 @@ class DepthVideo:
             inps=jnp.zeros((buffer, h, w, 128), bf16),
             damping=1e-6 * jnp.ones((buffer, h, w), f32),
         )
+        if device is not None:
+            self.buf = jax.device_put(self.buf, device)
+        self.device = device
         self.counter = 0
         self.ready = False
         self.dirty = np.zeros(buffer, bool)
