@@ -34,7 +34,8 @@ class DroidConfig:
     backend_radius: int = 2
     backend_nms: int = 3
 
-    # weights / io
+    # visualization / io
+    enable_vis: bool = False
     weights: Optional[str] = None
     t0: int = 0
     stride: int = 1

@@ -71,3 +71,32 @@ def show(points, colors):
     pcd.points = o3d.utility.Vector3dVector(points)
     pcd.colors = o3d.utility.Vector3dVector(colors / 255.0)
     o3d.visualization.draw_geometries([pcd])
+
+
+def run_visualizer(video, stop_event, period: float = 5.0,
+                   out_path: str = "reconstruction_live.ply"):
+    """Live reconstruction loop (counterpart of the reference's visualizer
+    process, droid.py:36-39 / visualization.py:53-160): polls the video's
+    dirty flags and re-exports the filtered point cloud. Uses the Open3D
+    window when the package is installed, headless PLY snapshots otherwise.
+
+    Run in a daemon thread: Thread(target=run_visualizer, args=(video, ev)).
+    """
+    try:
+        import open3d as o3d  # noqa: F401
+        has_o3d = True
+    except Exception:
+        has_o3d = False
+
+    while not stop_event.is_set():
+        if video.dirty[:video.counter].any() and video.counter >= 4:
+            video.dirty[:video.counter] = False
+            try:
+                pts, cols = reconstruction_point_cloud(video)
+                if has_o3d:
+                    show(pts, cols)
+                else:
+                    save_ply(out_path, pts, cols)
+            except Exception:
+                pass  # visualization must never take down tracking
+        stop_event.wait(period)

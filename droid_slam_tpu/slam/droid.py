@@ -36,6 +36,16 @@ class Droid:
         self.backend = DroidBackend(self.params, self.video, config)
         self.traj_filler = PoseTrajectoryFiller(self.params, self.video)
 
+        # live visualizer (droid.py:36-39); off unless explicitly enabled
+        self._vis_stop = None
+        if getattr(config, "enable_vis", False):
+            import threading
+            from ..eval.visualization import run_visualizer
+            self._vis_stop = threading.Event()
+            threading.Thread(target=run_visualizer,
+                             args=(self.video, self._vis_stop),
+                             daemon=True).start()
+
     @staticmethod
     def _load_params(weights_path):
         if weights_path:
@@ -50,6 +60,8 @@ class Droid:
     def terminate(self, stream=None, backend_steps=(7, 12)):
         """droid.py:71-86: final global BA passes + trajectory fill.
         Returns the *inverse* (camera-to-world) poses as [T,7] numpy."""
+        if self._vis_stop is not None:
+            self._vis_stop.set()
         del self.frontend
 
         for steps in backend_steps:
