@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from droid_slam_tpu.ba import edge_terms, inference as ba_inf
-from droid_slam_tpu.ba.solver import solve_psd, damp_diagonal
+from droid_slam_tpu.ba.solver import solve_psd
 from droid_slam_tpu.lie import se3
 
 

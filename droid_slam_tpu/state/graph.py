@@ -109,8 +109,9 @@ def _update_core_traced(params, poses, disps, intrinsics, inps_buf, pyramid,
             upmask, coords1)
 
 
-_update_core = jax.jit(_update_core_traced,
-                       static_argnames=("nw", "lookup_impl"))
+# standalone jit of the single-iteration core (diagnostics / benchmarks)
+update_core_jit = jax.jit(_update_core_traced,
+                          static_argnames=("nw", "lookup_impl"))
 
 
 def _pack_indices(*arrays):
