@@ -77,6 +77,8 @@ def main():
     parser.add_argument("--beta", type=float, default=0.3)
     parser.add_argument("--stride", type=int, default=1)
     parser.add_argument("--upsample", action="store_true")
+    parser.add_argument("--backend_steps", type=int, nargs="*",
+                        default=[7, 12])
     parser.add_argument("--reconstruction_path", default=None)
     parser.add_argument("--trajectory_path", default="trajectory.txt")
     parser.add_argument("--disable_vis", action="store_true")
@@ -105,7 +107,8 @@ def main():
         droid.track(t, image, intrinsics=intrinsics)
 
     traj = droid.terminate(image_stream(args.imagedir, args.calib,
-                                        args.stride))
+                                        args.stride),
+                           backend_steps=tuple(args.backend_steps))
     np.savetxt(args.trajectory_path, traj)
     print(f"saved trajectory [{traj.shape[0]},7] to {args.trajectory_path}")
 

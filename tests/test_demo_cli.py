@@ -24,14 +24,17 @@ def test_demo_cli(tmp_path):
     calib.write_text("120.0 120.0 80.0 60.0\n")
     traj_path = tmp_path / "traj.txt"
 
-    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR=os.path.expanduser(
+                   "~/.cache/jax_tests"))
     out = subprocess.run(
         [sys.executable, "demo.py", "--imagedir", str(imgdir),
          "--calib", str(calib), "--warmup", "5",
          "--filter_thresh", "-1", "--keyframe_thresh", "-1",
-         "--buffer", "32", "--trajectory_path", str(traj_path)],
+         "--buffer", "32", "--backend_steps",
+         "--trajectory_path", str(traj_path)],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        env=env, capture_output=True, text=True, timeout=1500)
+        env=env, capture_output=True, text=True, timeout=2400)
     assert out.returncode == 0, out.stderr[-2000:]
     traj = np.loadtxt(traj_path)
     assert traj.shape[1] == 7
