@@ -1,1 +1,2 @@
-"""data subpackage."""
+"""Datasets: training readers (TartanAir), evaluation streams
+(EuRoC/TUM/ETH3D), augmentation, covisibility graphs."""

@@ -1,1 +1,6 @@
-"""models subpackage."""
+"""Network family: encoders, ConvGRU update operator, DroidNet forward,
+checkpoint interop."""
+
+from . import droidnet, layers, nets, weights
+
+__all__ = ["droidnet", "layers", "nets", "weights"]

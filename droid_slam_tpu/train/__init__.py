@@ -1,1 +1,5 @@
-"""train subpackage."""
+"""Training: losses, data-parallel trainer, logging."""
+
+from . import losses, trainer
+
+__all__ = ["losses", "trainer"]
