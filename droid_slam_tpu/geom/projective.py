@@ -128,14 +128,31 @@ def projective_transform(poses, disps, intrinsics, ii, jj, jacobian=False,
     if not jacobian:
         return coords, valid, None
 
-    # geometry Jacobians must stay true fp32: force full-precision contractions
-    # (TPU matmuls default to bf16 passes otherwise)
-    Jj = jnp.einsum("...ij,...jk->...ik", Jp, Ja, precision="highest")
+    # Closed-form pose/depth Jacobians (droid_kernels.cu:321-361) —
+    # elementwise VPU math; the equivalent Jp @ Ja product would lower to
+    # per-pixel 2x4 @ 4x6 batched matmuls, which the MXU executes one tiny
+    # matrix at a time (~15 ms per BA iteration vs <1 ms here).
+    fx = intrinsics[jj][..., None, None, 0]
+    fy = intrinsics[jj][..., None, None, 1]
+    x, y, z, hcoord = jnp.moveaxis(X1, -1, 0)
+    zsafe = jnp.where(z < 0.5 * min_depth, jnp.ones_like(z), z)
+    d = 1.0 / zsafe
+    d2 = d * d
+    o = jnp.zeros_like(d)
+    Jj_u = jnp.stack([fx * hcoord * d, o, -fx * x * hcoord * d2,
+                      -fx * x * y * d2, fx * (1.0 + x * x * d2),
+                      -fx * y * d], axis=-1)
+    Jj_v = jnp.stack([o, fy * hcoord * d, -fy * y * hcoord * d2,
+                      -fy * (1.0 + y * y * d2), fy * x * y * d2,
+                      fy * x * d], axis=-1)
+    Jj = jnp.stack([Jj_u, Jj_v], axis=-2)  # [E,H,W,2,6]
     Ji = -se3.adjT(Gij[..., None, None, None, :], Jj)
-    # depth Jacobian: d(coords)/d(disp) = Jp @ (Gij * e_w)
-    Jz_pt = se3.act(Gij, jnp.array([0.0, 0.0, 0.0, 1.0], dtype=coords.dtype))
-    Jz = jnp.einsum("...ij,...j->...i", Jp, Jz_pt[..., None, None, :],
-                    precision="highest")[..., None]
+
+    # depth Jacobian: t_ij enters through the homogeneous coordinate
+    tij = Gij[..., None, None, :3]
+    Jz_u = fx * (tij[..., 0] * d - tij[..., 2] * x * d2)
+    Jz_v = fy * (tij[..., 1] * d - tij[..., 2] * y * d2)
+    Jz = jnp.stack([Jz_u, Jz_v], axis=-1)[..., None]  # [E,H,W,2,1]
     return coords, valid, (Ji, Jj, Jz)
 
 

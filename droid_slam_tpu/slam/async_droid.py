@@ -122,11 +122,14 @@ class DroidAsync:
     # ------------------------------------------------------------------
 
     def track(self, tstamp, image, depth=None, intrinsics=None):
-        self.filterx.track(tstamp, image, depth, intrinsics)
+        self.filterx.track_begin(tstamp, image, depth, intrinsics)
+        self.frontend.finalize()
+        self.filterx.track_finish()
         self.frontend()
 
     def terminate(self, stream=None):
         """droid_async.py:200-215."""
+        self.frontend.finalize()
         self.video2.ready = True
         self._thread.join(timeout=600)
         self._stop.set()

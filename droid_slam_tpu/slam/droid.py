@@ -53,8 +53,11 @@ class Droid:
         return nets.init_params(jax.random.PRNGKey(0))
 
     def track(self, tstamp, image, depth=None, intrinsics=None):
-        """droid.py:61-69."""
-        self.filterx.track(tstamp, image, depth, intrinsics)
+        """droid.py:61-69, pipelined: the admission dispatch for this frame
+        overlaps the previous frame's deferred keyframe decision."""
+        self.filterx.track_begin(tstamp, image, depth, intrinsics)
+        self.frontend.finalize()
+        self.filterx.track_finish()
         self.frontend()
 
     def terminate(self, stream=None, backend_steps=(7, 12)):
@@ -62,6 +65,7 @@ class Droid:
         Returns the *inverse* (camera-to-world) poses as [T,7] numpy."""
         if self._vis_stop is not None:
             self._vis_stop.set()
+        self.frontend.finalize()  # flush the deferred keyframe decision
         del self.frontend
 
         for steps in backend_steps:

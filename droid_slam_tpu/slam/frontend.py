@@ -133,15 +133,28 @@ class DroidFrontend:
 
         # ONE dispatch: iters1 updates -> keyframe-distance probe ->
         # (conditionally, on-device) iters2 refinement + next-frame motion
-        # model; the host syncs only the probe value for its bookkeeping
+        # model. The probe value is NOT synced here: the decision is
+        # finalized at the start of the next frame (finalize()), overlapping
+        # the sync with the next frame's encode dispatch.
         damping = self.motion_damping if self.motion_damping >= 0 else 0.0
-        d = float(self.graph.update(
+        self._pending_kf = self.graph.update(
             None, None, use_inactive=True, n_iters=self.iters1,
             kf_pair=(self.t1 - 4, self.t1 - 2), kf_beta=self.beta,
             n_iters2=self.iters2, kf_thresh=self.keyframe_thresh,
-            next_state_t1=self.t1, motion_damping=damping))
+            next_state_t1=self.t1, motion_damping=damping)
 
+        self.video.dirty[int(self.graph.ii.min()):self.t1] = True
+
+    def finalize(self):
+        """Apply the previous frame's deferred keyframe decision
+        (droid_frontend.py:94-107 host bookkeeping)."""
+        if getattr(self, "_pending_kf", None) is None:
+            return
+        d = float(self._pending_kf)
+        self._pending_kf = None
         if d < 2 * self.keyframe_thresh:
+            # the conditional iters2/motion-model did NOT run on-device;
+            # drop the redundant keyframe and re-init the prediction slot
             self.graph.rm_keyframe(self.t1 - 3)
             with self.video.get_lock():
                 self.video.counter -= 1
@@ -149,8 +162,6 @@ class DroidFrontend:
             self._init_next_state()
         else:
             self.graph.bump_age(self.iters2)
-
-        self.video.dirty[int(self.graph.ii.min()):self.t1] = True
 
     def _initialize(self):
         """droid_frontend.py:119-151."""

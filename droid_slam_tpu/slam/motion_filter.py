@@ -80,10 +80,10 @@ class MotionFilter:
         self.proximity_probe = proximity_probe
         self.pending_distance = None
 
-    def track(self, tstamp, image, depth=None, intrinsics=None):
-        """image: [C,H,W,3] uint8 BGR host array (C=1 mono, 2 stereo);
-        intrinsics: [4] full-resolution (divided by 8 on store,
-        motion_filter.py:72)."""
+    def track_begin(self, tstamp, image, depth=None, intrinsics=None):
+        """Dispatch the admission test (fnet + zero-flow GRU + speculative
+        proximity distances) WITHOUT syncing — the caller overlaps this with
+        the previous frame's pending keyframe decision."""
         image = np.asarray(image)
         if image.ndim == 3:
             image = image[None]
@@ -99,6 +99,7 @@ class MotionFilter:
                 disp=1.0, depth=depth,
                 intrinsics=np.asarray(intrinsics) / 8.0,
                 fmap=gmap, net=net[0], inp=inp[0])
+            self._pending = None
             return
 
         if self.proximity_probe is not None:
@@ -119,6 +120,17 @@ class MotionFilter:
             buf.poses, buf.disps, buf.intrinsics[0],
             jnp.asarray(pi), jnp.asarray(pj),
             jnp.asarray(beta, jnp.float32))
+        self._pending = (tstamp, image, img_dev, depth, intrinsics, gmap,
+                         merged, n_pairs)
+
+    def track_finish(self):
+        """Sync the admission test and append the frame when admitted."""
+        if getattr(self, "_pending", None) is None:
+            return True  # first frame path already appended
+        (tstamp, image, img_dev, depth, intrinsics, gmap, merged,
+         n_pairs) = self._pending
+        self._pending = None
+
         merged = np.asarray(merged)  # ONE sync round trip
         delta = float(merged[0])
         self.pending_distance = merged[1:1 + n_pairs]
@@ -130,5 +142,11 @@ class MotionFilter:
                 tstamp, image=image[0], pose=None, disp=None, depth=depth,
                 intrinsics=np.asarray(intrinsics) / 8.0,
                 fmap=gmap, net=net[0], inp=inp[0])
-        else:
-            self.count += 1
+            return True
+        self.count += 1
+        return False
+
+    def track(self, tstamp, image, depth=None, intrinsics=None):
+        """motion_filter.py:52-91 (non-pipelined convenience wrapper)."""
+        self.track_begin(tstamp, image, depth, intrinsics)
+        self.track_finish()
