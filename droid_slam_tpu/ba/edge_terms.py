@@ -18,11 +18,21 @@ Layout: HW is flattened to the last (lane) dimension.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
 
 from ..geom import projective as pops
+
+
+def ba_precision() -> str:
+    """Matmul precision for Hessian/Schur assembly. "highest" = 6-pass fp32
+    emulation (bitwise closest to the reference's CUDA fp32 accumulation);
+    "high" = 3-pass bf16x3 (~fp32 quality at half the MXU passes). The
+    default stays "highest"; DROID_BA_PRECISION=high trades ~2x Schur matmul
+    throughput for a last-bit accuracy difference."""
+    return os.environ.get("DROID_BA_PRECISION", "highest")
 
 
 class EdgeTerms(NamedTuple):
@@ -78,24 +88,26 @@ def linearize(poses, disps, intrinsics, target, weight, ii, jj,
     return EdgeTerms(r=r, w_pose=w_pose, w_depth=w_depth, Ji=Ji, Jj=Jj, Jz=Jz)
 
 
-def pose_blocks(t: EdgeTerms):
+def pose_blocks(t: EdgeTerms, precision: str = None):
     """Dense per-edge pose Hessian blocks and RHS
     (droid_kernels.cu:337-351, geom/ba.py:53-59).
 
     Returns Hii, Hij, Hji, Hjj [E,6,6] and vi, vj [E,6].
     """
+    prec = precision or ba_precision()
+
     def H(Ja, Jb):
         return jnp.einsum("ech,ecdh,ecfh->edf", t.w_pose, Ja, Jb,
-                          precision="highest")
+                          precision=prec)
 
     Hii = H(t.Ji, t.Ji)
     Hij = H(t.Ji, t.Jj)
     Hjj = H(t.Jj, t.Jj)
     Hji = jnp.swapaxes(Hij, -1, -2)
     vi = jnp.einsum("ech,ecdh,ech->ed", t.w_pose, t.Ji, t.r,
-                    precision="highest")
+                    precision=prec)
     vj = jnp.einsum("ech,ecdh,ech->ed", t.w_pose, t.Jj, t.r,
-                    precision="highest")
+                    precision=prec)
     return Hii, Hij, Hji, Hjj, vi, vj
 
 

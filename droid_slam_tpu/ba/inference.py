@@ -277,6 +277,7 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
         # ---- S = E Q E^T accumulated per depth frame, chunked ------------
         S = jnp.zeros((NW * NW + 1, 6, 6), jnp.float32)
         qw = Q * wz
+        prec = edge_terms.ba_precision()
         for c0 in range(0, NW, _SCHUR_CHUNK):
             idx = plan.rk_idx[c0:c0 + _SCHUR_CHUNK]          # [CK,RMAX]
             mask = idx >= 0
@@ -286,7 +287,7 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
             G = jnp.einsum("kah,kbh->kab",
                            Fq.reshape(CK, RMAX * 6, hw),
                            F.reshape(CK, RMAX * 6, hw),
-                           precision="highest")
+                           precision=prec)
             G = G.reshape(CK, RMAX, 6, RMAX, 6).transpose(0, 1, 3, 2, 4)
             p = jnp.where(mask, rp[jnp.clip(idx, 0)], -1)    # [CK,RMAX]
             p1 = p[:, :, None]
@@ -299,7 +300,7 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
 
         # ---- S_rhs = E Q w per pose --------------------------------------
         dwr = jnp.einsum("rdh,rh->rd", Erows, qw[plan.row_depth],
-                         precision="highest")
+                         precision=prec)
         S_rhs = _scatter_pose_vec(dwr * rp_ok[:, None], rp, NW, n_free)
 
         M = (A - S).transpose(0, 2, 1, 3).reshape(NW * 6, NW * 6)
@@ -308,7 +309,7 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
 
         # ---- back-substitute depth updates (EvT + accum, cu:1417-1426) ---
         dx_row = dx[jnp.clip(rp, 0)] * rp_ok[:, None]
-        dw_rows = jnp.einsum("rdh,rd->rh", Erows, dx_row, precision="highest")
+        dw_rows = jnp.einsum("rdh,rd->rh", Erows, dx_row, precision=prec)
         acc = jax.ops.segment_sum(dw_rows, plan.row_depth, num_segments=NW)
         dz = Q * (wz - acc)
 

@@ -122,13 +122,18 @@ class DroidAsync:
     # ------------------------------------------------------------------
 
     def track(self, tstamp, image, depth=None, intrinsics=None):
-        self.filterx.track_begin(tstamp, image, depth, intrinsics)
+        """Pipelined like Droid.track: resolve the previous frame's deferred
+        results, then dispatch this frame's admission test."""
         self.frontend.finalize()
         self.filterx.track_finish()
         self.frontend()
+        self.filterx.track_begin(tstamp, image, depth, intrinsics)
 
     def terminate(self, stream=None):
         """droid_async.py:200-215."""
+        self.frontend.finalize()
+        self.filterx.track_finish()
+        self.frontend()
         self.frontend.finalize()
         self.video2.ready = True
         self._thread.join(timeout=600)

@@ -53,19 +53,33 @@ class Droid:
         return nets.init_params(jax.random.PRNGKey(0))
 
     def track(self, tstamp, image, depth=None, intrinsics=None):
-        """droid.py:61-69, pipelined: the admission dispatch for this frame
-        overlaps the previous frame's deferred keyframe decision."""
-        self.filterx.track_begin(tstamp, image, depth, intrinsics)
+        """droid.py:61-69, fully pipelined (1-frame decision latency):
+        each arriving frame first RESOLVES the previous frame's deferred
+        results (keyframe decision of the update dispatched last frame, and
+        the previous frame's admission test — both prefetched to the host
+        while the device worked), runs the frontend update for the previous
+        keyframe, then DISPATCHES this frame's admission test. The host
+        never blocks on in-flight device work, so the frame rate is set by
+        device compute, not by sync round trips."""
         self.frontend.finalize()
         self.filterx.track_finish()
         self.frontend()
+        self.filterx.track_begin(tstamp, image, depth, intrinsics)
+
+    def flush(self):
+        """Drain the 1-frame pipeline (resolve the last frame's admission
+        and run its frontend update)."""
+        self.frontend.finalize()
+        self.filterx.track_finish()
+        self.frontend()
+        self.frontend.finalize()
 
     def terminate(self, stream=None, backend_steps=(7, 12)):
         """droid.py:71-86: final global BA passes + trajectory fill.
         Returns the *inverse* (camera-to-world) poses as [T,7] numpy."""
         if self._vis_stop is not None:
             self._vis_stop.set()
-        self.frontend.finalize()  # flush the deferred keyframe decision
+        self.flush()
         del self.frontend
 
         for steps in backend_steps:

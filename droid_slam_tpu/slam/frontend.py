@@ -38,13 +38,6 @@ def _next_state(poses, disps, t1, motion_damping):
     return poses, disps
 
 
-@partial(jax.jit, donate_argnames=("disps",))
-def _sensor_overwrite(disps, disps_sens, t):
-    """droid_frontend.py:84-88."""
-    sens = disps_sens[t]
-    return disps.at[t].set(jnp.where(sens > 0, sens, disps[t]))
-
-
 # NOTE: the reference writes poses[t1]/disps[t1] at the end of _update
 # (droid_frontend.py:110-114) and of _initialize (:138-139), but __call__
 # invokes _init_next_state immediately after either, which overwrites the
@@ -55,8 +48,13 @@ def _sensor_overwrite(disps, disps_sens, t):
 class DroidFrontend:
     def __init__(self, params, video, args):
         self.video = video
+        # ba_inactive_bucket=192: the windowed inactive-edge count sits at
+        # ~100-150 in steady state (evict rate x window residency); starting
+        # at the 192 bucket avoids a mid-run recompile of the fused update
+        # (~20 s each on the deployment's remote compiler)
         self.graph = FactorGraph(video, params, max_factors=48,
-                                 upsample=getattr(args, "upsample", False))
+                                 upsample=getattr(args, "upsample", False),
+                                 ba_inactive_bucket=192)
 
         self.t0 = 0
         self.t1 = 0
@@ -126,22 +124,22 @@ class DroidFrontend:
             thresh=self.frontend_thresh, beta=self.beta, remove=True,
             dist=dist)
 
-        # RGB-D: overwrite disparity where the sensor is valid (fe.py:84-88)
-        buf = self.video.buf
-        self.video.buf = buf._replace(disps=_sensor_overwrite(
-            buf.disps, buf.disps_sens, jnp.asarray(self.t1 - 1)))
-
-        # ONE dispatch: iters1 updates -> keyframe-distance probe ->
-        # (conditionally, on-device) iters2 refinement + next-frame motion
-        # model. The probe value is NOT synced here: the decision is
-        # finalized at the start of the next frame (finalize()), overlapping
-        # the sync with the next frame's encode dispatch.
+        # ONE dispatch: RGB-D sensor overwrite (fe.py:84-88) -> iters1
+        # updates -> keyframe-distance probe -> (conditionally, on-device)
+        # iters2 refinement + next-frame motion model. The probe value is
+        # NOT synced here: the decision is finalized when the next frame
+        # arrives, by which time its async host copy has completed.
         damping = self.motion_damping if self.motion_damping >= 0 else 0.0
         self._pending_kf = self.graph.update(
             None, None, use_inactive=True, n_iters=self.iters1,
             kf_pair=(self.t1 - 4, self.t1 - 2), kf_beta=self.beta,
             n_iters2=self.iters2, kf_thresh=self.keyframe_thresh,
-            next_state_t1=self.t1, motion_damping=damping)
+            next_state_t1=self.t1, motion_damping=damping,
+            sens_frame=self.t1 - 1)
+        try:
+            self._pending_kf.copy_to_host_async()
+        except Exception:
+            pass
 
         self.video.dirty[int(self.graph.ii.min()):self.t1] = True
 

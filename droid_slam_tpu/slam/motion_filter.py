@@ -6,11 +6,16 @@ zero-flow GRU iteration over the correlation volume, and admit the frame as a
 keyframe when the mean flow-correction magnitude exceeds the threshold.
 Feature nets run in bf16 (the reference's CUDA autocast islands,
 motion_filter.py:39-51); geometry stays fp32.
+
+Pipelining: the admission decision for frame t is *dispatched* when frame t
+arrives but *resolved* when frame t+1 arrives (`track_begin` / `track_finish`
+split, driven by the Droid facade). The result vector is copied to the host
+asynchronously while the device works on the next frontend update, so the
+blocking read a frame later is nearly free — the tunnel deployment pays
+~30-100 ms for a cold host sync but ~3 ms for a prefetched one.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import numpy as np
 import jax
@@ -22,7 +27,7 @@ from ..ops import corr as corr_ops
 from ..lie import se3
 
 
-@partial(jax.jit, static_argnames=())
+@jax.jit
 def _encode_all(params, images_bgr):
     """fnet+cnet on a (possibly stereo) frame stack [C,H,W,3] uint8."""
     fmap, net, inp = nets.extract_features(params, images_bgr,
@@ -41,17 +46,32 @@ _encode_fnet = jax.jit(_encode_fnet_raw)
 @jax.jit
 def _encode_and_delta(params, images_bgr, fmap_prev, net_prev, inp_prev,
                       poses, disps, intr0, pair_ii, pair_jj, beta):
-    """fnet on the incoming frame + one zero-flow update iteration against
-    the last keyframe (motion_filter.py:66-81), fused into one dispatch —
-    plus the proximity frame-distance probe the frontend will need if this
-    frame is admitted (speculative; avoids a second sync round trip).
+    """ONE dispatch per incoming frame (motion_filter.py:62-88 fused):
+      * fnet on the (possibly stereo) frame stack;
+      * cnet on the primary view (needed only if the frame is admitted —
+        computing it unconditionally costs ~3 ms but saves a dispatch and
+        a second encode on the admit path);
+      * one zero-flow update iteration against the last keyframe -> mean
+        ||delta|| admission statistic;
+      * the proximity frame-distance probe the frontend will need if this
+        frame is admitted (speculative; avoids another sync round trip).
 
-    Returns (gmap [C,h,w,128], merged [1+P]) where merged[0] is the mean
-    ||delta|| and merged[1:] the pairwise distances."""
+    Returns (gmap [C,h,w,128], net [h,w,128], inp [h,w,128],
+    merged [1+P]) where merged[0] is the mean ||delta|| and merged[1:] the
+    pairwise distances.
+
+    All indexing of persistent device state (last-keyframe fmap stack,
+    intrinsics row 0) happens INSIDE this program: eager indexing on the
+    host would each cost a ~15-20 ms dispatch on the tunnel deployment."""
     gmap = _encode_fnet_raw(params, images_bgr)
+    x = nets.normalize_images(images_bgr[:1]).astype(jnp.bfloat16)
+    cmap = nets.basic_encoder(params, "cnet", x, "none")
+    net_c, inp_c = jnp.split(cmap, 2, axis=-1)
+    net, inp = jnp.tanh(net_c), jax.nn.relu(inp_c)
+
     h, w = gmap.shape[1], gmap.shape[2]
     coords0 = pops.coords_grid(h, w)[None]
-    pyramid = corr_ops.build_pyramid(fmap_prev[None].astype(jnp.float32),
+    pyramid = corr_ops.build_pyramid(fmap_prev[:1].astype(jnp.float32),
                                      gmap[0][None].astype(jnp.float32))
     corr = corr_ops.lookup_pyramid(pyramid, coords0).astype(jnp.bfloat16)
     _, delta, _ = nets.update_module(params, net_prev[None], inp_prev[None],
@@ -59,9 +79,9 @@ def _encode_and_delta(params, images_bgr, fmap_prev, net_prev, inp_prev,
     dn = jnp.mean(jnp.linalg.norm(delta.astype(jnp.float32), axis=-1))
 
     from ..geom import distance as gdist
-    d = gdist.frame_distance(poses, disps, intr0, pair_ii, pair_jj, beta,
+    d = gdist.frame_distance(poses, disps, intr0[0], pair_ii, pair_jj, beta,
                              bidirectional=True)
-    return gmap, jnp.concatenate([dn[None], d])
+    return gmap, net[0], inp[0], jnp.concatenate([dn[None], d])
 
 
 class MotionFilter:
@@ -79,19 +99,19 @@ class MotionFilter:
         # same dispatch as the admission test (one sync instead of two)
         self.proximity_probe = proximity_probe
         self.pending_distance = None
+        self._pending = None
 
     def track_begin(self, tstamp, image, depth=None, intrinsics=None):
-        """Dispatch the admission test (fnet + zero-flow GRU + speculative
-        proximity distances) WITHOUT syncing — the caller overlaps this with
-        the previous frame's pending keyframe decision."""
+        """Dispatch the admission test (fnet+cnet + zero-flow GRU +
+        speculative proximity distances) WITHOUT syncing — resolved by
+        track_finish when the NEXT frame arrives."""
         image = np.asarray(image)
         if image.ndim == 3:
             image = image[None]
-        img_dev = jnp.asarray(image)
 
-        if self.video.counter == 0:
-            gmap = _encode_fnet(self.params, img_dev)  # [C,h,w,128]
-            _, net, inp = _encode_all(self.params, img_dev[:1])
+        if self.video.counter == 0 and self._pending is None:
+            gmap = _encode_fnet(self.params, image)  # [C,h,w,128]
+            _, net, inp = _encode_all(self.params, image[:1])
             self.fmap, self.net, self.inp = gmap, net[0], inp[0]
             # first frame always admitted: pose=Id, disp=1 (mf.py:69-72)
             self.video.append(
@@ -99,7 +119,6 @@ class MotionFilter:
                 disp=1.0, depth=depth,
                 intrinsics=np.asarray(intrinsics) / 8.0,
                 fmap=gmap, net=net[0], inp=inp[0])
-            self._pending = None
             return
 
         if self.proximity_probe is not None:
@@ -115,33 +134,36 @@ class MotionFilter:
         pj = np.zeros(pb, np.int64); pj[:n_pairs] = pair_jj
 
         buf = self.video.buf
-        gmap, merged = _encode_and_delta(
-            self.params, img_dev, self.fmap[0], self.net, self.inp,
-            buf.poses, buf.disps, buf.intrinsics[0],
-            jnp.asarray(pi), jnp.asarray(pj),
-            jnp.asarray(beta, jnp.float32))
-        self._pending = (tstamp, image, img_dev, depth, intrinsics, gmap,
+        gmap, net, inp, merged = _encode_and_delta(
+            self.params, image, self.fmap, self.net, self.inp,
+            buf.poses, buf.disps, buf.intrinsics,
+            pi, pj, np.float32(beta))
+        try:
+            merged.copy_to_host_async()
+        except Exception:
+            pass
+        self._pending = (tstamp, image, depth, intrinsics, gmap, net, inp,
                          merged, n_pairs)
 
     def track_finish(self):
-        """Sync the admission test and append the frame when admitted."""
-        if getattr(self, "_pending", None) is None:
-            return True  # first frame path already appended
-        (tstamp, image, img_dev, depth, intrinsics, gmap, merged,
+        """Resolve the pending admission test (prefetched sync) and append
+        the frame when admitted. Returns True when a keyframe was added."""
+        if self._pending is None:
+            return self.video.counter > 0 and self.count == 0
+        (tstamp, image, depth, intrinsics, gmap, net, inp, merged,
          n_pairs) = self._pending
         self._pending = None
 
-        merged = np.asarray(merged)  # ONE sync round trip
+        merged = np.asarray(merged)  # ONE (prefetched) sync round trip
         delta = float(merged[0])
         self.pending_distance = merged[1:1 + n_pairs]
         if delta > self.thresh:
             self.count = 0
-            _, net, inp = _encode_all(self.params, img_dev[:1])
-            self.fmap, self.net, self.inp = gmap, net[0], inp[0]
+            self.fmap, self.net, self.inp = gmap, net, inp
             self.video.append(
                 tstamp, image=image[0], pose=None, disp=None, depth=depth,
                 intrinsics=np.asarray(intrinsics) / 8.0,
-                fmap=gmap, net=net[0], inp=inp[0])
+                fmap=gmap, net=net, inp=inp)
             return True
         self.count += 1
         return False

@@ -68,27 +68,25 @@ def _update_core_traced(params, poses, disps, intrinsics, inps_buf, pyramid,
     motn = jnp.concatenate([coords1 - coords0, resd], axis=-1)
     motn = jnp.clip(motn, -64.0, 64.0)
 
-    # correlation lookup with slot indirection
+    # correlation lookup with slot indirection. The volumes stay in SLOT
+    # order (permuting them would copy ~1 GB of HBM per iteration); instead
+    # the small coords tensor is scattered into slot order, the lookup runs
+    # slot-native, and the small result is gathered back into edge order.
     cflat = coords1.reshape(EA, hw, 2)
     if lookup_impl == "pallas":
         from ..ops import corr_pallas
         corr = corr_pallas.lookup_pyramid_slots(pyramid, slots, cflat,
                                                 corr_ops.RADIUS)
         corr = corr.reshape(EA, h, w, -1)
-    elif lookup_impl == "tent":
-        # leading-dim slot gather = bulk row copies, then tent-weight MXU
-        # contractions (ops/corr.py:_lookup_level_tent)
-        outs = []
-        for lvl, vol in enumerate(pyramid):
-            outs.append(corr_ops._lookup_level_tent(
-                vol[slots], cflat / (2.0 ** lvl), corr_ops.RADIUS))
-        corr = jnp.concatenate(outs, axis=-1).reshape(EA, h, w, -1)
     else:
+        EB = pyramid[0].shape[0]
+        wslots = jnp.where(valid, slots, EB + 1)  # drop invalid edges
+        c_slot = jnp.zeros((EB, hw, 2), cflat.dtype).at[wslots].set(cflat)
         outs = []
         for lvl, vol in enumerate(pyramid):
-            outs.append(_lookup_slots(vol, slots, cflat / (2.0 ** lvl),
-                                      corr_ops.RADIUS))
-        corr = jnp.concatenate(outs, axis=-1).reshape(EA, h, w, -1)
+            outs.append(corr_ops._lookup_level_impl(
+                vol, c_slot / (2.0 ** lvl), corr_ops.RADIUS, lookup_impl))
+        corr = jnp.concatenate(outs, axis=-1)[slots].reshape(EA, h, w, -1)
 
     cdt = jnp.bfloat16
     # padded edge slots must not contaminate the per-frame aggregation:
@@ -163,16 +161,24 @@ def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
     ii = take(ea)
     jj = take(ea)
     valid = take(ea).astype(bool)
-    ib = packed.shape[0] - off[0] - 4
+    ib = packed.shape[0] - off[0] - 5
     inac_slots = take(ib)
     kf_pair = take(2)
     g0 = take(1)[0]
     ns_t1 = take(1)[0]
+    sens_frame = take(1)[0]
     h, w = disps.shape[-2:]
     hw = h * w
     win = g0 + jnp.arange(nw)
     tgt_inac = target_inac_buf[inac_slots]
     wgt_inac = weight_inac_buf[inac_slots]
+
+    # RGB-D: overwrite disparity where the sensor is valid, fused into this
+    # dispatch (droid_frontend.py:84-88; sens_frame < 0 skips)
+    sfc = jnp.clip(sens_frame, 0)
+    sens_sf = disps_sens[sfc]
+    disps = disps.at[sfc].set(
+        jnp.where((sens_frame >= 0) & (sens_sf > 0), sens_sf, disps[sfc]))
 
     def iteration(state):
         poses, disps, damping, nets_e, target, weight, _, _ = state
@@ -426,6 +432,14 @@ def _scatter_rows(bufs, idx, values):
                  zip(bufs, values))
 
 
+@partial(jax.jit, donate_argnames=("dst_bufs",))
+def _move_rows(dst_bufs, src_bufs, src_idx, dst_idx):
+    """dst[dst_idx[k]] = src[src_idx[k]] in ONE dispatch (gather + scatter
+    fused; eager `src[idx]` indexing would cost its own tunnel dispatch)."""
+    return tuple(d.at[dst_idx].set(s[src_idx].astype(d.dtype))
+                 for d, s in zip(dst_bufs, src_bufs))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -433,17 +447,26 @@ class FactorGraph:
     def __init__(self, video: DepthVideo, params, max_factors: int = -1,
                  corr_impl: str = "volume", upsample: bool = False,
                  capacity: int = 64, inactive_capacity: int = 2048,
-                 ba_inactive_bucket: int = 64, rmax: int = 32):
+                 ba_inactive_bucket: int = 64, rmax: int = 16):
+        # rmax: Schur row-group bucket. The G einsum in the BA costs
+        # O(rmax^2), and typical frontend out-degrees give ~6-10 actual rows
+        # per depth frame; the bucket grows monotonically (one recompile)
+        # when a frame exceeds it.
         self.video = video
         self.params = params
         self.max_factors = max_factors
         self.corr_impl = corr_impl
         self.upsample = upsample
-        # lookup formulation: tent-weight MXU contractions on accelerators
-        # (the Pallas kernel is preferable but this deployment's remote-AOT
-        # path cannot compile Mosaic kernels); XLA gather on CPU
-        self.lookup_impl = ("tent" if jax.default_backend() != "cpu"
-                            else "gather")
+        # lookup formulation: fused VPU tent multiply-reduce on accelerators
+        # (ops/corr.py::_lookup_level_dense — measured 2-3 ms/iteration on
+        # v5e vs ~25 ms for batched-tiny-matmul tent and ~90 ms for gather;
+        # the Pallas kernel is preferable but this deployment's remote-AOT
+        # path cannot compile Mosaic kernels); XLA gather on CPU.
+        # Overridable for benchmarking via DROID_LOOKUP_IMPL.
+        import os
+        self.lookup_impl = os.environ.get(
+            "DROID_LOOKUP_IMPL",
+            "dense" if jax.default_backend() != "cpu" else "gather")
         # compile-stability knobs: the fused update is keyed on these, so
         # they must NOT wobble frame-to-frame (each recompile costs ~30 s
         # over the deployment's remote-compile tunnel)
@@ -586,11 +609,9 @@ class FactorGraph:
             src_p = np.zeros(kb, np.int64); src_p[:len(slots)] = slots
             dst_p = np.full(kb, self.target_inac.shape[0] + 1, np.int64)
             dst_p[:len(islots)] = islots
-            src = jnp.asarray(src_p)
-            dst = jnp.asarray(dst_p)
-            self.target_inac, self.weight_inac = _scatter_rows(
-                (self.target_inac, self.weight_inac), dst,
-                (self.target[src], self.weight[src]))
+            self.target_inac, self.weight_inac = _move_rows(
+                (self.target_inac, self.weight_inac),
+                (self.target, self.weight), src_p, dst_p)
             self.ii_inac = np.concatenate(
                 [self.ii_inac, [e[1] for e in removed]]).astype(np.int64)
             self.jj_inac = np.concatenate(
@@ -657,7 +678,7 @@ class FactorGraph:
     def update(self, t0=None, t1=None, itrs=2, use_inactive=False, EP=1e-7,
                motion_only=False, n_iters=1, kf_pair=None, kf_beta=0.3,
                next_state_t1=None, motion_damping=0.0, n_iters2=0,
-               kf_thresh=-1.0):
+               kf_thresh=-1.0, sens_frame=None):
         """Run n_iters x (GRU update + DBA(itrs)) as ONE fused device
         dispatch (factor_graph.py:215-263 semantics per iteration).
 
@@ -720,6 +741,7 @@ class FactorGraph:
             valid=valid_full, edges=IB + EA, rmax=self.rmax,
             window=self.window_bucket)
         self.window_bucket = max(self.window_bucket, ba_shape.window)
+        self.rmax = max(self.rmax, ba_shape.rmax)  # sticky compile key
 
         kf = (0, 0) if kf_pair is None else kf_pair
         packed = _pack_indices(
@@ -729,7 +751,8 @@ class FactorGraph:
             pad_idx(slots, 0), pad_idx(ii, 0), pad_idx(jj, 0),
             (np.arange(EA) < len(ii)).astype(np.int32), in_slots_p,
             np.asarray(kf, np.int32), [g0],
-            [0 if next_state_t1 is None else int(next_state_t1)])
+            [0 if next_state_t1 is None else int(next_state_t1)],
+            [-1 if sens_frame is None else int(sens_frame)])
 
         buf = self.video.buf
         (poses, disps, damping, self.net, self.target, self.weight, eta,
@@ -737,13 +760,13 @@ class FactorGraph:
             self.params, buf.poses, buf.disps, buf.disps_sens, buf.damping,
             buf.intrinsics, buf.inps, self.pyramid, self.net, self.target,
             self.weight, self.target_inac, self.weight_inac,
-            jnp.asarray(packed), nw, EA, self.lookup_impl,
-            ba_shape, 1e-4, 0.1, jnp.asarray(n_iters, jnp.int32),
-            self.upsample, jnp.asarray(kf_beta, jnp.float32),
-            jnp.asarray(0 if next_state_t1 is None else 1, jnp.int32),
-            jnp.asarray(motion_damping, jnp.float32),
-            jnp.asarray(n_iters2, jnp.int32),
-            jnp.asarray(kf_thresh, jnp.float32))
+            packed, nw, EA, self.lookup_impl,
+            ba_shape, 1e-4, 0.1, np.int32(n_iters),
+            self.upsample, np.float32(kf_beta),
+            np.int32(0 if next_state_t1 is None else 1),
+            np.float32(motion_damping),
+            np.int32(n_iters2),
+            np.float32(kf_thresh))
         self.video.buf = buf._replace(poses=poses, disps=disps,
                                       damping=damping)
 
