@@ -20,11 +20,16 @@ from ..ops import corr as corr_ops
 from . import nets
 
 
-@partial(jax.jit, static_argnames=("num_steps", "fixedp"))
+@partial(jax.jit, static_argnames=("num_steps", "fixedp", "compute_dtype"))
 def forward(params, images, Gs0, disps0, intrinsics, ii, jj,
-            num_steps: int = 12, fixedp: int = 2):
+            num_steps: int = 12, fixedp: int = 2,
+            compute_dtype=jnp.bfloat16):
     """images [N,H,W,3] uint8 BGR; Gs0 [N,7]; disps0 [N,h,w];
     intrinsics [N,4] (1/8 scale); ii/jj edge lists.
+
+    compute_dtype: network compute precision (bf16 for TPU training; the
+    cross-implementation golden test passes float32 to compare against the
+    reference's CPU fp32 forward).
 
     Returns (Gs_list, disp_up_list, residual_list) with
     disp_up at full resolution via convex upsampling.
@@ -35,7 +40,7 @@ def forward(params, images, Gs0, disps0, intrinsics, ii, jj,
     hw = h * w
 
     fmaps, net_f, inp_f = nets.extract_features(params, images,
-                                                compute_dtype=jnp.bfloat16)
+                                                compute_dtype=compute_dtype)
     net = net_f[ii]
     inp = inp_f[ii]
     pyramid = corr_ops.build_pyramid(fmaps[ii].astype(jnp.float32),
@@ -58,8 +63,8 @@ def forward(params, images, Gs0, disps0, intrinsics, ii, jj,
         motn = jnp.clip(motn, -64.0, 64.0)
 
         net, delta, weight, eta, upmask = nets.update_module(
-            params, net, inp, corr.astype(jnp.bfloat16),
-            motn.astype(jnp.bfloat16), ii=ii, num_frames=N)
+            params, net, inp, corr.astype(compute_dtype),
+            motn.astype(compute_dtype), ii=ii, num_frames=N)
 
         target = coords1 + delta.astype(jnp.float32)
 
