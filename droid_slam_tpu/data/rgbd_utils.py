@@ -21,62 +21,72 @@ def parse_list(filepath, skiprows=0):
                       skiprows=skiprows)
 
 
-def associate_frames(tstamp_image, tstamp_depth, tstamp_pose, max_dt=1.0):
-    """rgbd_utils.py:16-33."""
-    associations = []
-    for i, t in enumerate(tstamp_image):
-        if tstamp_pose is None:
-            j = np.argmin(np.abs(tstamp_depth - t))
-            if np.abs(tstamp_depth[j] - t) < max_dt:
-                associations.append((i, j))
-        else:
-            j = np.argmin(np.abs(tstamp_depth - t))
-            k = np.argmin(np.abs(tstamp_pose - t))
-            if (np.abs(tstamp_depth[j] - t) < max_dt
-                    and np.abs(tstamp_pose[k] - t) < max_dt):
-                associations.append((i, j, k))
-    return associations
+def _nearest(ref, query):
+    """For each query timestamp, the index of the closest ref timestamp and
+    the residual |ref[j] - query|. Fully vectorized (O(N*M) broadcast —
+    TUM-scale streams are a few thousand frames)."""
+    ref = np.asarray(ref, np.float64)
+    query = np.asarray(query, np.float64)
+    j = np.abs(query[:, None] - ref[None, :]).argmin(axis=1)
+    return j, np.abs(ref[j] - query)
+
+
+def associate_frames(tstamp_image, tstamp_depth, tstamp_pose=None,
+                     max_dt=1.0):
+    """Nearest-timestamp matching of image frames to depth (and optionally
+    pose) streams; frames without a match within max_dt are dropped.
+    Behavior of /root/reference/droid_slam/data_readers/rgbd_utils.py:16-33,
+    vectorized."""
+    jd, err_d = _nearest(tstamp_depth, tstamp_image)
+    if tstamp_pose is None:
+        keep = np.nonzero(err_d < max_dt)[0]
+        return [(int(i), int(jd[i])) for i in keep]
+    jp, err_p = _nearest(tstamp_pose, tstamp_image)
+    keep = np.nonzero((err_d < max_dt) & (err_p < max_dt))[0]
+    return [(int(i), int(jd[i]), int(jp[i])) for i in keep]
+
+
+def _first_existing(datapath, names):
+    for n in names:
+        p = osp.join(datapath, n)
+        if osp.isfile(p):
+            return p
+    return None
 
 
 def loadtum(datapath, frame_rate=-1):
-    """rgbd_utils.py:35-88: returns (images, depths, poses, intrinsics,
-    tstamps) with every 5th associated frame."""
-    if osp.isfile(osp.join(datapath, "groundtruth.txt")):
-        pose_list = osp.join(datapath, "groundtruth.txt")
-    elif osp.isfile(osp.join(datapath, "pose.txt")):
-        pose_list = osp.join(datapath, "pose.txt")
-    else:
+    """Load a TUM-format RGB-D sequence directory into aligned per-frame
+    lists (images, depths, poses, intrinsics, tstamps), keeping every 5th
+    associated frame (reference rgbd_utils.py:35-88 behavior)."""
+    pose_file = _first_existing(datapath, ("groundtruth.txt", "pose.txt"))
+    if pose_file is None:
         return None, None, None, None, None
 
-    image_list = osp.join(datapath, "rgb.txt")
-    depth_list = osp.join(datapath, "depth.txt")
+    rgb_tab = parse_list(osp.join(datapath, "rgb.txt"))
+    dep_tab = parse_list(osp.join(datapath, "depth.txt"))
+    pose_tab = parse_list(pose_file, skiprows=1)
 
-    calib_path = osp.join(datapath, "calibration.txt")
-    intrinsic = None
-    if osp.isfile(calib_path):
-        intrinsic = np.loadtxt(calib_path, delimiter=" ").astype(np.float64)
+    t_img = rgb_tab[:, 0].astype(np.float64)
+    t_dep = dep_tab[:, 0].astype(np.float64)
+    t_pose = pose_tab[:, 0].astype(np.float64)
 
-    image_data = parse_list(image_list)
-    depth_data = parse_list(depth_list)
-    pose_data = parse_list(pose_list, skiprows=1)
-    pose_vecs = pose_data[:, 1:].astype(np.float64)
+    assoc = np.array(associate_frames(t_img, t_dep, t_pose), np.int64)
+    assoc = assoc[::5]
+    if assoc.size == 0:
+        return [], [], [], [], []
+    i_img, i_dep, i_pose = assoc.T
 
-    tstamp_image = image_data[:, 0].astype(np.float64)
-    tstamp_depth = depth_data[:, 0].astype(np.float64)
-    tstamp_pose = pose_data[:, 0].astype(np.float64)
-    associations = associate_frames(tstamp_image, tstamp_depth, tstamp_pose)
+    calib = _first_existing(datapath, ("calibration.txt",))
+    if calib is not None:
+        k = np.loadtxt(calib, delimiter=" ").astype(np.float64)
+        intrinsics = [k] * len(assoc)
+    else:
+        intrinsics = []
 
-    indices = range(len(associations))[::5]
-
-    images, poses, depths, intrinsics, tstamps = [], [], [], [], []
-    for ix in indices:
-        i, j, k = associations[ix]
-        images.append(osp.join(datapath, str(image_data[i, 1])))
-        depths.append(osp.join(datapath, str(depth_data[j, 1])))
-        poses.append(pose_vecs[k])
-        tstamps.append(tstamp_image[i])
-        if intrinsic is not None:
-            intrinsics.append(intrinsic)
+    images = [osp.join(datapath, str(f)) for f in rgb_tab[i_img, 1]]
+    depths = [osp.join(datapath, str(f)) for f in dep_tab[i_dep, 1]]
+    poses = list(pose_tab[i_pose, 1:].astype(np.float64))
+    tstamps = list(t_img[i_img])
     return images, depths, poses, intrinsics, tstamps
 
 

@@ -12,7 +12,7 @@ import os.path as osp
 
 import numpy as np
 
-from .base import RGBDDataset
+from .base import RGBDDataset, Scene, build_covis_index
 
 # validation scenes reserved from training (data_readers/tartan_test.txt)
 TEST_SPLIT = [
@@ -62,10 +62,9 @@ class TartanAir(RGBDDataset):
     def is_test_scene(scene):
         return any(x in scene for x in TEST_SPLIT)
 
-    def _build_dataset(self):
-        scene_info = {}
-        scenes = glob.glob(osp.join(self.root, "*/*/*/*"))
-        for scene in sorted(scenes):
+    def _scan_scenes(self):
+        scenes = {}
+        for scene in sorted(glob.glob(osp.join(self.root, "*/*/*/*"))):
             images = sorted(glob.glob(osp.join(scene, "image_left/*.png")))
             depths = sorted(glob.glob(osp.join(scene, "depth_left/*.npy")))
             if not images:
@@ -74,12 +73,12 @@ class TartanAir(RGBDDataset):
                                delimiter=" ")
             poses = poses[:, [1, 2, 0, 4, 5, 3, 6]]  # NED -> XYZ
             poses[:, :3] /= TartanAir.DEPTH_SCALE
-            intrinsics = [TartanAir.calib_read()] * len(images)
-            graph = self.build_frame_graph(poses, depths, intrinsics)
-            scene_info[scene] = {"images": images, "depths": depths,
-                                 "poses": poses, "intrinsics": intrinsics,
-                                 "graph": graph}
-        return scene_info
+            intrinsics = np.tile(TartanAir.calib_read(), (len(images), 1))
+            covis = build_covis_index(poses, depths, intrinsics,
+                                      TartanAir.depth_read)
+            scenes[scene] = Scene(images=images, depths=depths, poses=poses,
+                                  intrinsics=intrinsics, covis=covis)
+        return scenes
 
     @staticmethod
     def calib_read():
