@@ -71,19 +71,36 @@ def evaluate_ate(est_traj, ref_traj, t_est=None, t_ref=None, scale=True,
             "errors": err}
 
 
-def rpe(est_poses, ref_poses, delta: int = 1):
-    """Relative pose error over frame pairs (evaluate_rpe.py semantics).
-    est/ref: [n,7] pose arrays ([t,q], c2w). Returns (trans_rmse, rot_rmse
-    radians)."""
-    from ..lie import se3
-    import jax.numpy as jnp
+def _pose_matrices(poses):
+    """[n,7] ([t,q]) -> [n,4,4] homogeneous matrices."""
+    from scipy.spatial.transform import Rotation
 
-    est = jnp.asarray(est_poses, jnp.float32)
-    ref = jnp.asarray(ref_poses, jnp.float32)
-    n = min(est.shape[0], ref.shape[0]) - delta
-    d_est = se3.mul(se3.inv(est[:n]), est[delta:n + delta])
-    d_ref = se3.mul(se3.inv(ref[:n]), ref[delta:n + delta])
-    e = se3.log(se3.mul(se3.inv(d_ref), d_est))
-    te = np.asarray(jnp.linalg.norm(e[:, :3], axis=-1))
-    re = np.asarray(jnp.linalg.norm(e[:, 3:], axis=-1))
-    return float(np.sqrt(np.mean(te ** 2))), float(np.sqrt(np.mean(re ** 2)))
+    poses = np.asarray(poses, np.float64)
+    out = np.tile(np.eye(4), (len(poses), 1, 1))
+    out[:, :3, :3] = Rotation.from_quat(poses[:, 3:7]).as_matrix()
+    out[:, :3, 3] = poses[:, :3]
+    return out
+
+
+def rpe_pairs(est_poses, ref_poses, delta: int = 1):
+    """Per-pair relative pose errors, TUM-benchmark convention
+    (tartanair_tools evaluate_rpe.py:123-130): for each frame pair (i, i+d),
+    error44 = (est_rel)^-1 · ref_rel with x_rel = x[i+d]^-1 · x[i]; returns
+    (trans_err [m], rot_err [rad]) arrays."""
+    est = _pose_matrices(est_poses)
+    ref = _pose_matrices(ref_poses)
+    n = min(len(est), len(ref)) - delta
+    d_est = np.linalg.inv(est[delta:n + delta]) @ est[:n]
+    d_ref = np.linalg.inv(ref[delta:n + delta]) @ ref[:n]
+    err = np.linalg.inv(d_est) @ d_ref
+    t_err = np.linalg.norm(err[:, :3, 3], axis=-1)
+    tr = np.clip((np.trace(err[:, :3, :3], axis1=1, axis2=2) - 1) / 2, -1, 1)
+    return t_err, np.arccos(tr)
+
+
+def rpe(est_poses, ref_poses, delta: int = 1):
+    """Aggregate relative pose error. est/ref: [n,7] pose arrays ([t,q],
+    c2w). Returns (trans_rmse, rot_rmse radians)."""
+    t_err, r_err = rpe_pairs(est_poses, ref_poses, delta)
+    return (float(np.sqrt(np.mean(t_err ** 2))),
+            float(np.sqrt(np.mean(r_err ** 2))))

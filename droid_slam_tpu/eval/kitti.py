@@ -31,26 +31,37 @@ def _last_frame_from_len(dist, first, length):
     return int(ix[0]) if len(ix) else -1
 
 
-def kitti_metrics(gt_traj, est_traj, step: int = 10):
-    """Returns (t_rel, r_rel): average translation error (fraction) and
-    rotation error (rad/m) over the standard segment lengths."""
+def kitti_sequence_errors(gt_traj, est_traj, step: int = 10,
+                          lengths=LENGTHS):
+    """Per-segment normalized errors: list of (first_frame, r_err/length
+    [rad/m], t_err/length [fraction], length) — the quantity
+    evaluate_kitti.py:45-84 accumulates."""
     gt = _pose_mats(np.asarray(gt_traj))
     est = _pose_mats(np.asarray(est_traj))
     dist = _trajectory_distances(gt)
 
-    t_errs, r_errs = [], []
+    segments = []
     for first in range(0, len(gt), step):
-        for length in LENGTHS:
+        for length in lengths:
             last = _last_frame_from_len(dist, first, length)
             if last < 0:
                 continue
             dgt = np.linalg.inv(gt[first]) @ gt[last]
             dest = np.linalg.inv(est[first]) @ est[last]
             err = np.linalg.inv(dest) @ dgt
-            t_errs.append(np.linalg.norm(err[:3, 3]) / length)
+            t_err = np.linalg.norm(err[:3, 3])
             ang = np.clip((np.trace(err[:3, :3]) - 1) / 2, -1, 1)
-            r_errs.append(np.arccos(ang) / length)
+            segments.append((first, np.arccos(ang) / length, t_err / length,
+                             length))
+    return segments
 
-    if not t_errs:
+
+def kitti_metrics(gt_traj, est_traj, step: int = 10, lengths=LENGTHS):
+    """Returns (t_rel, r_rel): average translation error (fraction) and
+    rotation error (rad/m) over the standard segment lengths."""
+    segments = kitti_sequence_errors(gt_traj, est_traj, step, lengths)
+    if not segments:
         return 0.0, 0.0
+    r_errs = [s[1] for s in segments]
+    t_errs = [s[2] for s in segments]
     return float(np.mean(t_errs)), float(np.mean(r_errs))
