@@ -333,30 +333,28 @@ def _lowmem_chunk_core_traced(params, poses, disps, intrinsics, inps_buf,
             upmask)
 
 
-_lowmem_chunk_core = jax.jit(_lowmem_chunk_core_traced,
-                             static_argnames=("nw",))
-
-
-@partial(jax.jit, static_argnames=("nc", "ce", "ba_shape"),
+@partial(jax.jit, static_argnames=("nc", "ce", "ba_shape", "upsample"),
          donate_argnames=("poses", "disps", "damping", "nets_e", "target",
-                          "weight"))
+                          "weight", "disps_up"))
 def _fused_lowmem_step(params, poses, disps, disps_sens, damping, intrinsics,
-                       inps_buf, fpyr, nets_e, target, weight,
+                       inps_buf, fpyr, nets_e, target, weight, disps_up,
                        c_slots, c_ii, c_jj, c_iirows, c_jjrows, c_valid,
                        c_g0, nc: int, ce: int,
                        ba_shape, ba_plan, target_inac_buf, weight_inac_buf,
-                       inac_slots, lm, ep):
+                       inac_slots, lm, ep, upsample: bool = False):
     """One global-BA step (factor_graph.py:276-328) as ONE dispatch: the
     chunked on-the-fly-correlation GRU sweep is a lax.scan over fixed-size
-    chunk tables, followed by a single dense BA over all edges."""
+    chunk tables, followed by a single dense BA over all edges. With
+    `upsample`, each chunk also convex-upsamples the window frames'
+    disparities (factor_graph.py:298-300 + depth_video.py:155-159)."""
     h, w = disps.shape[-2:]
     hw = h * w
     cap = nets_e.shape[0]
 
     def chunk_body(state, inputs):
-        nets_e, target, weight, damping = state
+        nets_e, target, weight, damping, disps_up = state
         slots, ii, jj, ii_rows, jj_rows, valid, g0c = inputs
-        net_e, tgt_e, wgt_e, eta, _ = _lowmem_chunk_core_traced(
+        net_e, tgt_e, wgt_e, eta, upmask = _lowmem_chunk_core_traced(
             params, poses, disps, intrinsics, inps_buf, fpyr, nets_e, target,
             slots, ii, jj, ii_rows, jj_rows, valid, g0c, 8)
         wslots = jnp.where(valid, slots, cap + 1)
@@ -369,13 +367,18 @@ def _fused_lowmem_step(params, poses, disps, disps_sens, damping, intrinsics,
         winc = g0c + jnp.arange(8)
         damping = damping.at[winc].set(
             jnp.where(present[:, None, None], eta, damping[winc]))
-        return (nets_e, target, weight, damping), None
+        if upsample:
+            du = nets.upsample_disp(disps[winc],
+                                    upmask.astype(jnp.float32))
+            disps_up = disps_up.at[winc].set(
+                jnp.where(present[:, None, None], du, disps_up[winc]))
+        return (nets_e, target, weight, damping, disps_up), None
 
-    state = (nets_e, target, weight, damping)
+    state = (nets_e, target, weight, damping, disps_up)
     state, _ = jax.lax.scan(chunk_body, state,
                             (c_slots, c_ii, c_jj, c_iirows, c_jjrows,
                              c_valid, c_g0))
-    nets_e, target, weight, damping = state
+    nets_e, target, weight, damping, disps_up = state
 
     # one dense BA over inactive + all active edges (fg.py:311-328)
     act_slots = jnp.clip(c_slots.reshape(-1), 0, cap - 1)
@@ -387,7 +390,7 @@ def _fused_lowmem_step(params, poses, disps, disps_sens, damping, intrinsics,
     poses, disps = ba_inference.ba_iterations(
         ba_shape, poses, disps, disps_sens, damping, intrinsics[0],
         tgt_ba[:ba_shape.edges], wgt_ba[:ba_shape.edges], ba_plan, lm, ep)
-    return poses, disps, damping, nets_e, target, weight
+    return poses, disps, damping, nets_e, target, weight, disps_up
 
 
 @jax.jit
@@ -795,83 +798,15 @@ class FactorGraph:
         """Global BA loop with on-the-fly (alt) correlation, chunked over
         groups of 8 source frames to bound the GRU working set.
 
-        The default path fuses each step (chunk sweep + BA) into a single
-        dispatch; the legacy per-chunk path remains for --upsample runs."""
+        Every step (chunk sweep + BA, with optional convex upsampling) is a
+        single fused dispatch."""
         t = self.video.counter
         buf = self.video.buf
         B, c = buf.fmaps.shape[:2]
         # flatten the rig dim: frame n, camera k -> row n*c + k
         fpyr = corr_ops.build_fmap_pyramid(
             buf.fmaps.reshape(B * c, self.h, self.w, 128))
-
-        if not self.upsample:
-            self._update_lowmem_fused(fpyr, t, itrs, use_inactive, steps)
-            return
-
-        for _ in range(steps):
-            ii, jj = self.ii, self.jj
-            slots = self._slots()
-            i_min, i_max = int(ii.min()), int(jj.max())
-
-            for i in range(i_min, i_max + 1, 8):
-                v = np.nonzero((ii >= i) & (ii < i + 8))[0]
-                if len(v) == 0:
-                    continue
-                EA = _bucket(len(v), ACTIVE_BUCKETS)
-
-                def pad(x, fill=0):
-                    out = np.full(EA, fill, np.int64)
-                    out[:len(v)] = x[v]
-                    return jnp.asarray(out)
-
-                valid = jnp.asarray(np.arange(EA) < len(v))
-                jj_rows = jj * c + (ii == jj).astype(np.int64)
-                ii_rows = ii * c
-
-                net, target, weight, eta, upmask = _lowmem_chunk_core(
-                    self.params, buf.poses, buf.disps, buf.intrinsics,
-                    buf.inps, fpyr, self.net, self.target,
-                    pad(slots, self.capacity), pad(ii), pad(jj),
-                    pad(ii_rows), pad(jj_rows), valid, jnp.asarray(i), 8)
-
-                sl = jnp.asarray(np.concatenate(
-                    [slots[v], np.full(EA - len(v), self.capacity + 1)]))
-                self.net, self.target, self.weight = _scatter_rows(
-                    (self.net, self.target, self.weight), sl,
-                    (net, target, weight))
-
-                uframes = np.unique(ii[v])
-                self.video.update_damping(jnp.asarray(uframes),
-                                          eta[jnp.asarray(uframes - i)])
-                if self.upsample:
-                    um = upmask[jnp.asarray(uframes - i)]
-                    disps_up = nets.upsample_disp(
-                        buf.disps[jnp.asarray(uframes)], um)
-                    self.video.set_disps_up(jnp.asarray(uframes), disps_up)
-                buf = self.video.buf
-
-            # one DBA over all edges (fg.py:311-328)
-            if use_inactive and len(self.ii_inac):
-                ii_ba = np.concatenate([self.ii_inac, ii])
-                jj_ba = np.concatenate([self.jj_inac, jj])
-                tgt = jnp.concatenate(
-                    [self.target_inac[jnp.asarray(self.inac_slots)],
-                     self.target[jnp.asarray(slots)]], axis=0)
-                wgt = jnp.concatenate(
-                    [self.weight_inac[jnp.asarray(self.inac_slots)],
-                     self.weight[jnp.asarray(slots)]], axis=0)
-            else:
-                ii_ba, jj_ba = ii, jj
-                tgt = self.target[jnp.asarray(slots)]
-                wgt = self.weight[jnp.asarray(slots)]
-
-            for e in self.edges:
-                e[3] += 1
-
-            self.video.ba(tgt, wgt, ii_ba, jj_ba, t0=1, t1=t, itrs=itrs,
-                          lm=1e-5, ep=1e-2, motion_only=False)
-            buf = self.video.buf
-            self.video.dirty[:t] = True
+        self._update_lowmem_fused(fpyr, t, itrs, use_inactive, steps)
 
     def _update_lowmem_fused(self, fpyr, t, itrs, use_inactive, steps):
         """Single-dispatch-per-step global BA (chunk tables built once)."""
@@ -940,16 +875,17 @@ class FactorGraph:
         for _ in range(steps):
             buf = self.video.buf
             (poses, disps, damping, self.net, self.target,
-             self.weight) = _fused_lowmem_step(
+             self.weight, disps_up) = _fused_lowmem_step(
                 self.params, buf.poses, buf.disps, buf.disps_sens,
                 buf.damping, buf.intrinsics, buf.inps, fpyr,
-                self.net, self.target, self.weight,
+                self.net, self.target, self.weight, buf.disps_up,
                 dev(c_slots), dev(c_ii), dev(c_jj), dev(c_iir), dev(c_jjr),
                 dev(c_valid), dev(c_g0), NC, CE, ba_shape, ba_plan,
                 self.target_inac, self.weight_inac, dev(in_slots_p),
-                1e-5, 1e-2)
+                1e-5, 1e-2, upsample=self.upsample)
             self.video.buf = buf._replace(poses=poses, disps=disps,
-                                          damping=damping)
+                                          damping=damping,
+                                          disps_up=disps_up)
             for e in self.edges:
                 e[3] += 1
         self.video.dirty[:t] = True

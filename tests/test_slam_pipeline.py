@@ -77,3 +77,26 @@ def test_keyframe_removal_machinery():
     # every post-warmup frame is admitted then removed -> counter hovers
     assert droid.video.counter <= 8
     assert droid.frontend.is_initialized
+
+
+@pytest.mark.slow
+def test_upsample_through_fused_paths():
+    """--upsample runs must populate disps_up via the fused frontend update
+    AND the fused lowmem backend (factor_graph.py:267-330 +
+    depth_video.py:155-159 behavior)."""
+    cfg = DroidConfig(buffer=32, image_size=(H, W), warmup=5,
+                      filter_thresh=-1.0, keyframe_thresh=-1.0,
+                      frontend_window=10, frontend_thresh=1e9,
+                      upsample=True)
+    droid = Droid(cfg)
+    frames = make_stream(10)
+    for t, img, intr in frames:
+        droid.track(t, img, intrinsics=intr)
+    traj = droid.terminate(iter(frames), backend_steps=(1,))
+    t = droid.video.counter
+    dup = np.asarray(droid.video.buf.disps_up[:t])
+    assert dup.shape[1:] == (H, W)
+    assert np.isfinite(dup).all()
+    # upsampled disparities written (nonzero) for the keyframes
+    assert (np.abs(dup).reshape(t, -1).max(axis=1) > 0).all()
+    assert np.isfinite(traj).all()
