@@ -78,8 +78,8 @@ def iproj_points(poses, disps, intrinsics):
     grid = coords_grid(h, w, dtype=disps.dtype)
     d = jnp.where(disps == 0, 1e-8, disps)
     # camera-frame 3D point = [(u-cx)/fx, (v-cy)/fy, 1] / d
-    Xc = jnp.stack([(grid[..., 0] - cx) / fx,
-                    (grid[..., 1] - cy) / fy,
+    Xc = jnp.stack([jnp.broadcast_to((grid[..., 0] - cx) / fx, disps.shape),
+                    jnp.broadcast_to((grid[..., 1] - cy) / fy, disps.shape),
                     jnp.ones_like(disps)], axis=-1) / d[..., None]
     Ginv = se3.inv(poses)
     return se3.act3(Ginv[:, None, None, :], Xc)

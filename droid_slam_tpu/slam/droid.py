@@ -40,10 +40,10 @@ class Droid:
         self._vis_stop = None
         if getattr(config, "enable_vis", False):
             import threading
-            from ..eval.visualization import run_visualizer
+            from ..eval.viewer import launch_viewer
             self._vis_stop = threading.Event()
-            threading.Thread(target=run_visualizer,
-                             args=(self.video, self._vis_stop),
+            threading.Thread(target=launch_viewer,
+                             args=(self.video, None, self._vis_stop),
                              daemon=True).start()
 
     @staticmethod
