@@ -11,10 +11,10 @@ TPU-friendly primitives:
   * y-selection: a one-hot contraction over the volume's row dimension
     (vectorized compare + batched matmul; out-of-range rows select nothing,
     which reproduces the kernel's zero-padding for free);
-  * x-selection: an in-register lane gather within a single 128-lane tile
-    (valid while the volume width <= 128, true for every supported
-    resolution at 1/8 scale — the wrapper falls back to the XLA path
-    otherwise);
+  * x-selection: a second one-hot contraction over the lane dimension —
+    Mosaic rejects the merged-dims reshape an in-register lane gather would
+    need ("infer-vector-layout: unsupported shape cast"), and the D x w2
+    compare+matmul is effectively free on the MXU;
   * bilinear blend of the (2r+2)^2 integer grid into (2r+1)^2 taps
     (the altcorr D-trick, src/altcorr_kernel.cu:160-171).
 
@@ -37,19 +37,21 @@ RADIUS = 3
 
 def _lookup_kernel(slots_ref, xs_ref, ys_ref, vol_ref, out_ref, *, w2, h2,
                    radius):
-    """One (edge, pixel-block): vol_ref [1, PB, h2, w2], xs/ys [1, 1, PB],
-    out [1, PB, rd, rd] ordered (y-offset, x-offset)."""
+    """One (edge, pixel-block): vol_ref [1, PB, h2, w2], xs/ys [1, PB, 1]
+    (pixel dim on sublanes — Mosaic cannot re-layout a lane vector into the
+    batch dim, "unsupported shape cast"), out [1, PB, rd, rd] ordered
+    (y-offset, x-offset)."""
     r = radius
     rd = 2 * r + 1
     D = 2 * r + 2
-    x = xs_ref[0, 0, :]
-    y = ys_ref[0, 0, :]
+    x = xs_ref[0]                       # [PB, 1]
+    y = ys_ref[0]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    dx = (x - x0)[:, None, None]
-    dy = (y - y0)[:, None, None]
-    xi0 = x0.astype(jnp.int32)[:, None, None]
-    yi0 = y0.astype(jnp.int32)[:, None, None]
+    dx = (x - x0)[:, :, None]           # [PB, 1, 1]
+    dy = (y - y0)[:, :, None]
+    xi0 = x0.astype(jnp.int32)[:, :, None]
+    yi0 = y0.astype(jnp.int32)[:, :, None]
 
     PB = x.shape[0]
     vol = vol_ref[0].astype(jnp.float32)  # [PB, h2, w2]
@@ -62,14 +64,13 @@ def _lookup_kernel(slots_ref, xs_ref, ys_ref, vol_ref, out_ref, *, w2, h2,
         onehot, vol, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # [PB, D(b), w2]
 
-    # ---- x-selection: lane gather within the w2-lane tile (2D form) -----
-    lane = jax.lax.broadcasted_iota(jnp.int32, (PB, D, w2), 2)
-    xi = xi0 - r + lane
-    inbx = (xi >= 0) & (xi < w2) & (lane < D)
-    idx = jnp.where(inbx, xi, 0).reshape(PB * D, w2)
-    taps = jnp.take_along_axis(rows.reshape(PB * D, w2), idx, axis=-1)
-    taps = jnp.where(inbx.reshape(PB * D, w2), taps, 0.0)
-    taps = taps.reshape(PB, D, w2)[:, :, :D]  # [PB, D(b), D(a)]
+    # ---- x-selection: one-hot over lanes; OOB columns match nothing -----
+    ww = jax.lax.broadcasted_iota(jnp.int32, (PB, D, w2), 2)
+    aa = jax.lax.broadcasted_iota(jnp.int32, (PB, D, w2), 1)
+    onehot_x = (ww == xi0 - r + aa).astype(jnp.float32)  # [PB, D(a), w2]
+    taps = jax.lax.dot_general(
+        rows, onehot_x, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [PB, D(b), D(a)]
 
     # ---- bilinear blend D x D -> rd x rd (altcorr D-trick) --------------
     out = ((1.0 - dx) * (1.0 - dy) * taps[:, :rd, :rd]
@@ -92,19 +93,21 @@ def lookup_level_slots(vol, slots, coords, radius: int = RADIUS,
     EA = slots.shape[0]
     rd = 2 * radius + 1
 
-    PB = 256 if HW % 256 == 0 else 128 if HW % 128 == 0 else HW
+    # PB=128 keeps the per-block VMEM footprint (double-buffered volume rows
+    # + lane-padded window intermediates) under the 16 MiB scoped limit.
+    PB = 128 if HW % 128 == 0 else HW
     n_pb = HW // PB
 
-    xs = coords[..., 0][:, None, :]
-    ys = coords[..., 1][:, None, :]
+    xs = coords[..., 0][:, :, None]
+    ys = coords[..., 1][:, :, None]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(EA, n_pb),
         in_specs=[
-            pl.BlockSpec((1, 1, PB), lambda e, p, s: (e, 0, p),
+            pl.BlockSpec((1, PB, 1), lambda e, p, s: (e, p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PB), lambda e, p, s: (e, 0, p),
+            pl.BlockSpec((1, PB, 1), lambda e, p, s: (e, p, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PB, h2, w2), lambda e, p, s: (s[e], p, 0, 0),
                          memory_space=pltpu.VMEM),
