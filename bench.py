@@ -139,6 +139,7 @@ def main():
         return np.roll(base, shift=4 * t, axis=1)
 
     trace = os.environ.get("BENCH_TRACE", "") == "1"
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
     t = 0
     for _ in range(n_warm):
         tic = time.perf_counter()
@@ -150,6 +151,8 @@ def main():
         t += 1
 
     jax.block_until_ready(droid.video.buf.poses)
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     tic = time.perf_counter()
     for _ in range(n_meas):
         tif = time.perf_counter()
@@ -161,6 +164,8 @@ def main():
         t += 1
     jax.block_until_ready(droid.video.buf.poses)
     dt = time.perf_counter() - tic
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     fps = n_meas / dt
     print(json.dumps({

@@ -104,8 +104,11 @@ class DroidFrontend:
                                    jnp.asarray(damping, jnp.float32))
         v.buf = v.buf._replace(poses=poses, disps=disps)
 
-    def _update(self):
-        """droid_frontend.py:65-117."""
+    def update_host(self):
+        """Host half of _update (droid_frontend.py:65-117): edge eviction +
+        proximity proposal bookkeeping, then the packed update tables and
+        dispatch scalars. The device half is either `graph.dispatch_update`
+        (standalone path) or the single-dispatch frame program."""
         self.count += 1
         self.t1 += 1
 
@@ -124,32 +127,48 @@ class DroidFrontend:
             thresh=self.frontend_thresh, beta=self.beta, remove=True,
             dist=dist)
 
-        # ONE dispatch: RGB-D sensor overwrite (fe.py:84-88) -> iters1
-        # updates -> keyframe-distance probe -> (conditionally, on-device)
-        # iters2 refinement + next-frame motion model. The probe value is
-        # NOT synced here: the decision is finalized when the next frame
-        # arrives, by which time its async host copy has completed.
         damping = self.motion_damping if self.motion_damping >= 0 else 0.0
-        self._pending_kf = self.graph.update(
-            None, None, use_inactive=True, n_iters=self.iters1,
-            kf_pair=(self.t1 - 4, self.t1 - 2), kf_beta=self.beta,
-            n_iters2=self.iters2, kf_thresh=self.keyframe_thresh,
-            next_state_t1=self.t1, motion_damping=damping,
-            sens_frame=self.t1 - 1)
-        try:
-            self._pending_kf.copy_to_host_async()
-        except Exception:
-            pass
-
+        tb = self.graph.update_tables(
+            None, None, use_inactive=True,
+            kf_pair=(self.t1 - 4, self.t1 - 2),
+            next_state_t1=self.t1, sens_frame=self.t1 - 1)
+        scalars = dict(n_iters=self.iters1, kf_beta=self.beta,
+                       do_next_state=1, motion_damping=damping,
+                       n_iters2=self.iters2, kf_thresh=self.keyframe_thresh)
         self.video.dirty[int(self.graph.ii.min()):self.t1] = True
+        return tb, scalars
 
-    def finalize(self):
+    def set_pending_kf(self, kf_dist):
+        """Stash the keyframe-probe readback (resolved by finalize when the
+        next frame arrives; async host copy so the read is ~free)."""
+        self._pending_kf = kf_dist
+        if kf_dist is not None:
+            try:
+                kf_dist.copy_to_host_async()
+            except Exception:
+                pass
+
+    def _update(self):
+        """droid_frontend.py:65-117. ONE dispatch: RGB-D sensor overwrite
+        (fe.py:84-88) -> iters1 updates -> keyframe-distance probe ->
+        (conditionally, on-device) iters2 refinement + next-frame motion
+        model. The probe value is NOT synced here: the decision is finalized
+        when the next frame arrives, by which time its async host copy has
+        completed."""
+        tb, scalars = self.update_host()
+        self.set_pending_kf(self.graph.dispatch_update(tb, **scalars))
+
+    def finalize(self, kf_value=None):
         """Apply the previous frame's deferred keyframe decision
-        (droid_frontend.py:94-107 host bookkeeping)."""
-        if getattr(self, "_pending_kf", None) is None:
-            return
-        d = float(self._pending_kf)
-        self._pending_kf = None
+        (droid_frontend.py:94-107 host bookkeeping). `kf_value`: the probe
+        distance already resolved by the caller (single-readback fused
+        path); otherwise read from the async-copied device scalar."""
+        if kf_value is None:
+            if getattr(self, "_pending_kf", None) is None:
+                return
+            kf_value = float(self._pending_kf)
+            self._pending_kf = None
+        d = kf_value
         if d < 2 * self.keyframe_thresh:
             # the conditional iters2/motion-model did NOT run on-device;
             # drop the redundant keyframe and re-init the prediction slot
@@ -180,6 +199,10 @@ class DroidFrontend:
             self.video.dirty[:self.t1] = True
 
         self.graph.rm_factors(self.graph.ii < self.warmup - 4, store=True)
+        # shrink the slot capacity to the steady-state bucket: the GRU/corr
+        # cost of every later update scales with it (init's neighborhood
+        # graph transiently needs more slots than max_factors)
+        self.graph.compact()
 
     def __call__(self):
         """droid_frontend.py:153-164 (_update handles the next-frame motion

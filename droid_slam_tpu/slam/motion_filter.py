@@ -43,9 +43,9 @@ def _encode_fnet_raw(params, images_bgr):
 _encode_fnet = jax.jit(_encode_fnet_raw)
 
 
-@jax.jit
-def _encode_and_delta(params, images_bgr, fmap_prev, net_prev, inp_prev,
-                      poses, disps, intr0, pair_ii, pair_jj, beta):
+def _encode_and_delta_traced(params, images_bgr, fmap_prev, net_prev,
+                             inp_prev, poses, disps, intr0, pair_ii, pair_jj,
+                             beta):
     """ONE dispatch per incoming frame (motion_filter.py:62-88 fused):
       * fnet on the (possibly stereo) frame stack;
       * cnet on the primary view (needed only if the frame is admitted —
@@ -84,6 +84,9 @@ def _encode_and_delta(params, images_bgr, fmap_prev, net_prev, inp_prev,
     return gmap, net[0], inp[0], jnp.concatenate([dn[None], d])
 
 
+_encode_and_delta = jax.jit(_encode_and_delta_traced)
+
+
 class MotionFilter:
     def __init__(self, params, video, thresh: float = 2.5,
                  proximity_probe=None):
@@ -100,11 +103,30 @@ class MotionFilter:
         self.proximity_probe = proximity_probe
         self.pending_distance = None
         self._pending = None
+        self._pb_bucket = 64  # sticky pair-table bucket (compile stability)
 
-    def track_begin(self, tstamp, image, depth=None, intrinsics=None):
+    def _pair_tables(self):
+        """Padded probe tables (sticky bucket for compile stability)."""
+        if self.proximity_probe is not None:
+            pair_ii, pair_jj, beta = self.proximity_probe()
+        else:
+            pair_ii, pair_jj, beta = np.zeros(1, np.int64), \
+                np.zeros(1, np.int64), 0.3
+        n_pairs = len(pair_ii)
+        while self._pb_bucket < n_pairs:
+            self._pb_bucket *= 2
+        pb = self._pb_bucket
+        pi = np.zeros(pb, np.int64); pi[:n_pairs] = pair_ii
+        pj = np.zeros(pb, np.int64); pj[:n_pairs] = pair_jj
+        return pi, pj, np.float32(beta), n_pairs
+
+    def track_begin(self, tstamp, image, depth=None, intrinsics=None,
+                    defer=False):
         """Dispatch the admission test (fnet+cnet + zero-flow GRU +
         speculative proximity distances) WITHOUT syncing — resolved by
-        track_finish when the NEXT frame arrives."""
+        track_finish when the NEXT frame arrives. With `defer`, the encode
+        inputs are returned for the single-dispatch frame program and the
+        caller completes the stash via track_begin_complete."""
         image = np.asarray(image)
         if image.ndim == 3:
             image = image[None]
@@ -119,53 +141,87 @@ class MotionFilter:
                 disp=1.0, depth=depth,
                 intrinsics=np.asarray(intrinsics) / 8.0,
                 fmap=gmap, net=net[0], inp=inp[0])
-            return
+            return None
 
-        if self.proximity_probe is not None:
-            pair_ii, pair_jj, beta = self.proximity_probe()
-        else:
-            pair_ii, pair_jj, beta = np.zeros(1, np.int64), \
-                np.zeros(1, np.int64), 0.3
-        n_pairs = len(pair_ii)
-        pb = 1
-        while pb < max(n_pairs, 64):
-            pb *= 2
-        pi = np.zeros(pb, np.int64); pi[:n_pairs] = pair_ii
-        pj = np.zeros(pb, np.int64); pj[:n_pairs] = pair_jj
+        pi, pj, beta, n_pairs = self._pair_tables()
+        if defer:
+            self._pending = (tstamp, image, depth, intrinsics, None, None,
+                             None, None, n_pairs)
+            return image, pi, pj, beta
 
         buf = self.video.buf
         gmap, net, inp, merged = _encode_and_delta(
             self.params, image, self.fmap, self.net, self.inp,
             buf.poses, buf.disps, buf.intrinsics,
-            pi, pj, np.float32(beta))
+            pi, pj, beta)
         try:
             merged.copy_to_host_async()
         except Exception:
             pass
         self._pending = (tstamp, image, depth, intrinsics, gmap, net, inp,
                          merged, n_pairs)
+        return None
 
-    def track_finish(self):
+    def track_begin_dispatch(self, enc):
+        """Run the deferred encode eagerly (fallback path)."""
+        image, pi, pj, beta = enc
+        buf = self.video.buf
+        gmap, net, inp, merged = _encode_and_delta(
+            self.params, image, self.fmap, self.net, self.inp,
+            buf.poses, buf.disps, buf.intrinsics, pi, pj, beta)
+        self.track_begin_complete(gmap, net, inp, merged)
+
+    def track_begin_complete(self, gmap, net, inp, merged=None):
+        """Fill the deferred stash with the frame program's outputs
+        (merged=None when the caller owns the combined readback vector)."""
+        (tstamp, image, depth, intrinsics, _, _, _, _, n_pairs) = self._pending
+        self._pending = (tstamp, image, depth, intrinsics, gmap, net, inp,
+                         merged, n_pairs)
+        if merged is not None:
+            try:
+                merged.copy_to_host_async()
+            except Exception:
+                pass
+
+    def track_finish(self, defer=False, resolved=None):
         """Resolve the pending admission test (prefetched sync) and append
-        the frame when admitted. Returns True when a keyframe was added."""
+        the frame when admitted. Returns True when a keyframe was added, or
+        with `defer` the (index, values, fields) write tables for the
+        single-dispatch frame program (index = sentinel when rejected, so
+        the fused write is dropped and the compile key stays stable).
+        `resolved`: (delta, distances) already read back by the caller."""
         if self._pending is None:
-            return self.video.counter > 0 and self.count == 0
+            admitted = self.video.counter > 0 and self.count == 0
+            return None if defer else admitted
         (tstamp, image, depth, intrinsics, gmap, net, inp, merged,
          n_pairs) = self._pending
         self._pending = None
 
-        merged = np.asarray(merged)  # ONE (prefetched) sync round trip
-        delta = float(merged[0])
-        self.pending_distance = merged[1:1 + n_pairs]
+        if resolved is not None:
+            delta, dists = resolved
+        else:
+            merged = np.asarray(merged)  # ONE (prefetched) sync round trip
+            delta = float(merged[0])
+            dists = merged[1:]
+        self.pending_distance = np.asarray(dists)[:n_pairs]
         if delta > self.thresh:
             self.count = 0
             self.fmap, self.net, self.inp = gmap, net, inp
-            self.video.append(
+            out = self.video.append(
                 tstamp, image=image[0], pose=None, disp=None, depth=depth,
                 intrinsics=np.asarray(intrinsics) / 8.0,
-                fmap=gmap, net=net, inp=inp)
-            return True
+                fmap=gmap, net=net, inp=inp, defer=defer)
+            return out if defer else True
         self.count += 1
+        if defer:
+            # rejected: identical fields, out-of-range index (write dropped)
+            index, values, fields = self.video.set_frame(
+                self.video.counter, tstamp, pose=None, disp=None,
+                depth=depth, intrinsics=np.asarray(intrinsics) / 8.0,
+                fmap=gmap, net=net, inp=inp, defer=True)
+            self.video.counter -= 1  # set_frame bumped it; undo
+            self.video.dirty[index] = False
+            return self.video.buffer + 1, values, fields
         return False
 
     def track(self, tstamp, image, depth=None, intrinsics=None):

@@ -40,6 +40,7 @@ def _bucket(n, buckets):
 
 ACTIVE_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256)
 WINDOW_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+AE_BUCKET = 32  # pinned new-edge bucket of the single-dispatch frame path
 
 
 # ---------------------------------------------------------------------------
@@ -119,17 +120,13 @@ def _pack_indices(*arrays):
                            for a in arrays])
 
 
-@partial(jax.jit, static_argnames=("nw", "ea", "lookup_impl",
-                                   "ba_shape", "upsample"),
-         donate_argnames=("poses", "disps", "damping", "nets_e", "target",
-                          "weight"))
-def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
-                  inps_buf, pyramid, nets_e, target, weight,
-                  target_inac_buf, weight_inac_buf, packed,
-                  nw: int, ea: int, lookup_impl: str,
-                  ba_shape, lm, ep, n_iters, upsample: bool,
-                  kf_beta=0.3, do_next_state=0, motion_damping=0.0,
-                  n_iters2=0, kf_thresh=-1.0):
+def _fused_update_traced(params, poses, disps, disps_sens, damping, intrinsics,
+                         inps_buf, pyramid, nets_e, target, weight,
+                         target_inac_buf, weight_inac_buf, packed,
+                         nw: int, ea: int, lookup_impl: str,
+                         ba_shape, lm, ep, n_iters, upsample: bool,
+                         kf_beta=0.3, do_next_state=0, motion_damping=0.0,
+                         n_iters2=0, kf_thresh=-1.0):
     """N x (ConvGRU update + DBA) fused into ONE XLA program — one dispatch
     per frontend call instead of ~8 (each dispatch costs ~10-20 ms over the
     deployment's TPU tunnel; fusing is also what lets XLA overlap the GRU
@@ -257,6 +254,13 @@ def _fused_update(params, poses, disps, disps_sens, damping, intrinsics,
 
     return (poses, disps, damping, nets_e, target, weight, eta_last,
             upmask_last, disps_up, kf_dist)
+
+
+_fused_update = jax.jit(
+    _fused_update_traced,
+    static_argnames=("nw", "ea", "lookup_impl", "ba_shape", "upsample"),
+    donate_argnames=("poses", "disps", "damping", "nets_e", "target",
+                     "weight"))
 
 
 def _lookup_slots(vol, slots, coords, radius):
@@ -400,9 +404,7 @@ def _build_edge_volumes(fmap1, fmap2):
     return tuple(p.astype(jnp.bfloat16) for p in pyr)
 
 
-@partial(jax.jit, static_argnames=("with_volumes",),
-         donate_argnames=("nets_e", "target", "weight", "pyramid"))
-def _add_edges_device(poses, disps, intrinsics, nets_buf, fmaps, nets_e,
+def _add_edges_traced(poses, disps, intrinsics, nets_buf, fmaps, nets_e,
                       target, weight, pyramid, ii, jj, cam2, slots,
                       with_volumes: bool):
     """Initialize new edges in one dispatch (factor_graph.py:125-150):
@@ -427,6 +429,11 @@ def _add_edges_device(poses, disps, intrinsics, nets_buf, fmaps, nets_e,
     return nets_e, target, weight, pyramid
 
 
+_add_edges_device = jax.jit(
+    _add_edges_traced, static_argnames=("with_volumes",),
+    donate_argnames=("nets_e", "target", "weight", "pyramid"))
+
+
 @partial(jax.jit, donate_argnames=("bufs",))
 def _scatter_rows(bufs, idx, values):
     """Write `values[k]` to `bufs[idx[k]]` for each buffer (idx may contain
@@ -435,12 +442,20 @@ def _scatter_rows(bufs, idx, values):
                  zip(bufs, values))
 
 
-@partial(jax.jit, donate_argnames=("dst_bufs",))
-def _move_rows(dst_bufs, src_bufs, src_idx, dst_idx):
-    """dst[dst_idx[k]] = src[src_idx[k]] in ONE dispatch (gather + scatter
-    fused; eager `src[idx]` indexing would cost its own tunnel dispatch)."""
+def _move_rows_traced(dst_bufs, src_bufs, src_idx, dst_idx):
+    """dst[dst_idx[k]] = src[src_idx[k]] (gather + scatter fused; eager
+    `src[idx]` indexing would cost its own tunnel dispatch)."""
     return tuple(d.at[dst_idx].set(s[src_idx].astype(d.dtype))
                  for d, s in zip(dst_bufs, src_bufs))
+
+
+_move_rows = jax.jit(_move_rows_traced, donate_argnames=("dst_bufs",))
+
+
+@jax.jit
+def _gather_rows(bufs, src):
+    """bufs' rows reordered by `src` in one dispatch (slot compaction)."""
+    return tuple(b[src] for b in bufs)
 
 
 # ---------------------------------------------------------------------------
@@ -491,6 +506,13 @@ class FactorGraph:
         self.inac_free = list(range(inactive_capacity))
         self.ii_bad = np.zeros(0, np.int64)
         self.jj_bad = np.zeros(0, np.int64)
+
+        # single-dispatch frame path: deferred active->inactive moves and
+        # deferred new-edge tables, drained by the fused frame program
+        self.defer = False
+        self.ae_bucket = AE_BUCKET       # sticky (compile-key stability)
+        self._pending_moves: list = []   # (src_slot, dst_islot) pairs
+        self._pending_add = None         # (ii_p, jj_p, c, slots_p)
 
         # device slot-stable state
         self.net = jnp.zeros((capacity, self.h, self.w, 128), jnp.bfloat16)
@@ -556,15 +578,27 @@ class FactorGraph:
         # builds compile once per bucket size (recompile control, SURVEY §7.4)
         k = len(ii)
         kb = _bucket(k, (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096))
+        if self.defer:
+            while self.ae_bucket < kb:
+                self.ae_bucket *= 2  # rare recompile of the frame program
+            kb = self.ae_bucket
         ii_p = np.zeros(kb, np.int64); ii_p[:k] = ii
         jj_p = np.zeros(kb, np.int64); jj_p[:k] = jj
         slots = np.array([self.free.pop(0) for _ in range(k)], np.int64)
         slots_p = np.full(kb, self.capacity + 1, np.int64)  # pad -> dropped
         slots_p[:k] = slots
+        c = (ii_p == jj_p).astype(np.int64)  # stereo edges use right view
+
+        for n in range(k):
+            self.edges.append([int(slots[n]), int(ii[n]), int(jj[n]), 0])
+
+        if self.defer:
+            assert self._pending_add is None, "one add per fused frame"
+            self._pending_add = (ii_p, jj_p, c, slots_p)
+            return
 
         buf = self.video.buf
         with_volumes = self.corr_impl == "volume"
-        c = (ii_p == jj_p).astype(np.int64)  # stereo edges use right view
         pyramid = self.pyramid if with_volumes else ()
         self.net, self.target, self.weight, pyramid = _add_edges_device(
             buf.poses, buf.disps, buf.intrinsics, buf.nets, buf.fmaps,
@@ -574,8 +608,31 @@ class FactorGraph:
         if with_volumes:
             self.pyramid = pyramid
 
-        for n in range(k):
-            self.edges.append([int(slots[n]), int(ii[n]), int(jj[n]), 0])
+    def compact(self):
+        """Shrink the slot buffers to the smallest bucket holding
+        max(live edges, max_factors) and renumber slots densely.
+
+        Every per-iteration GRU conv and corr-volume pass scales with the
+        slot CAPACITY (slot-native formulations), so init's transient
+        neighborhood graph must not pin the steady state to an oversized
+        bucket: the frontend calls this once after initialization."""
+        n = len(self.edges)
+        floor = max(n, self.max_factors if self.max_factors > 0 else n)
+        want = _bucket(floor, ACTIVE_BUCKETS)
+        if want >= self.capacity:
+            return
+        src = np.zeros(want, np.int64)
+        for k, e in enumerate(self.edges):
+            src[k] = e[0]
+            e[0] = k
+        bufs = (self.net, self.target, self.weight) + \
+            (self.pyramid if self.pyramid is not None else ())
+        out = _gather_rows(bufs, jnp.asarray(src))
+        self.net, self.target, self.weight = out[:3]
+        if self.pyramid is not None:
+            self.pyramid = tuple(out[3:])
+        self.free = list(range(n, want))
+        self.capacity = want
 
     def _grow(self):
         """Double the active-edge capacity (slot-stable)."""
@@ -607,14 +664,18 @@ class FactorGraph:
                 self._grow_inactive()
             islots = np.array([self.inac_free.pop(0) for _ in removed],
                               np.int64)
-            kb = _bucket(len(removed), (4, 8, 16, 32, 64, 128, 256, 512,
-                                        1024, 2048, 4096))
-            src_p = np.zeros(kb, np.int64); src_p[:len(slots)] = slots
-            dst_p = np.full(kb, self.target_inac.shape[0] + 1, np.int64)
-            dst_p[:len(islots)] = islots
-            self.target_inac, self.weight_inac = _move_rows(
-                (self.target_inac, self.weight_inac),
-                (self.target, self.weight), src_p, dst_p)
+            if self.defer:
+                self._pending_moves.extend(zip(slots.tolist(),
+                                               islots.tolist()))
+            else:
+                kb = _bucket(len(removed), (4, 8, 16, 32, 64, 128, 256, 512,
+                                            1024, 2048, 4096))
+                src_p = np.zeros(kb, np.int64); src_p[:len(slots)] = slots
+                dst_p = np.full(kb, self.target_inac.shape[0] + 1, np.int64)
+                dst_p[:len(islots)] = islots
+                self.target_inac, self.weight_inac = _move_rows(
+                    (self.target_inac, self.weight_inac),
+                    (self.target, self.weight), src_p, dst_p)
             self.ii_inac = np.concatenate(
                 [self.ii_inac, [e[1] for e in removed]]).astype(np.int64)
             self.jj_inac = np.concatenate(
@@ -689,6 +750,67 @@ class FactorGraph:
         distance (the frontend's keyframe test, droid_frontend.py:94-98)."""
         if not self.edges:
             return
+        tb = self.update_tables(t0, t1, itrs=itrs,
+                                use_inactive=use_inactive,
+                                motion_only=motion_only, kf_pair=kf_pair,
+                                next_state_t1=next_state_t1,
+                                sens_frame=sens_frame)
+        kf_dist = self.dispatch_update(
+            tb, n_iters=n_iters, kf_beta=kf_beta,
+            do_next_state=0 if next_state_t1 is None else 1,
+            motion_damping=motion_damping, n_iters2=n_iters2,
+            kf_thresh=kf_thresh)
+        if kf_pair is not None:
+            return kf_dist
+        return None
+
+    def dispatch_update(self, tb, n_iters=1, kf_beta=0.3, do_next_state=0,
+                        motion_damping=0.0, n_iters2=0, kf_thresh=-1.0):
+        """Device half of `update`: dispatch one fused update from prebuilt
+        tables and apply the results (standalone / fallback path)."""
+        buf = self.video.buf
+        (poses, disps, damping, self.net, self.target, self.weight, eta,
+         upmask, disps_up, kf_dist) = _fused_update(
+            self.params, buf.poses, buf.disps, buf.disps_sens, buf.damping,
+            buf.intrinsics, buf.inps, self.pyramid, self.net, self.target,
+            self.weight, self.target_inac, self.weight_inac,
+            tb["packed"], tb["nw"], tb["EA"], self.lookup_impl,
+            tb["ba_shape"], 1e-4, 0.1, np.int32(n_iters),
+            self.upsample, np.float32(kf_beta),
+            np.int32(do_next_state),
+            np.float32(motion_damping),
+            np.int32(n_iters2),
+            np.float32(kf_thresh))
+        self.video.buf = buf._replace(poses=poses, disps=disps,
+                                      damping=damping)
+
+        if self.upsample and disps_up is not None:
+            uframes = np.unique(self.ii)
+            self.video.set_disps_up(jnp.asarray(uframes),
+                                    disps_up[jnp.asarray(uframes - tb["g0"])])
+
+        for e in self.edges:
+            e[3] += n_iters
+        return kf_dist
+
+    def up_dst_table(self, tb):
+        """Scatter destinations for the fused frame program's upsampled
+        disparities: disps_up row k -> video frame g0+k for frames in the
+        current edge set, sentinel (dropped) otherwise."""
+        nw = tb["nw"]
+        g0 = tb["g0"]
+        dst = np.full(nw, self.video.buffer + 1, np.int64)
+        for f in np.unique(self.ii):
+            if 0 <= f - g0 < nw:
+                dst[f - g0] = f
+        return dst
+
+    def update_tables(self, t0=None, t1=None, itrs=2, use_inactive=False,
+                      motion_only=False, kf_pair=None, next_state_t1=None,
+                      sens_frame=None):
+        """Host half of `update`: the packed index tables + static compile
+        keys for one fused update dispatch (shared by the standalone path
+        and the single-dispatch frame program)."""
         ii, jj = self.ii, self.jj
         slots = self._slots()
         # EA == slot capacity: a FIXED bucket so the fused program's compile
@@ -757,37 +879,65 @@ class FactorGraph:
             [0 if next_state_t1 is None else int(next_state_t1)],
             [-1 if sens_frame is None else int(sens_frame)])
 
-        buf = self.video.buf
-        (poses, disps, damping, self.net, self.target, self.weight, eta,
-         upmask, disps_up, kf_dist) = _fused_update(
-            self.params, buf.poses, buf.disps, buf.disps_sens, buf.damping,
-            buf.intrinsics, buf.inps, self.pyramid, self.net, self.target,
-            self.weight, self.target_inac, self.weight_inac,
-            packed, nw, EA, self.lookup_impl,
-            ba_shape, 1e-4, 0.1, np.int32(n_iters),
-            self.upsample, np.float32(kf_beta),
-            np.int32(0 if next_state_t1 is None else 1),
-            np.float32(motion_damping),
-            np.int32(n_iters2),
-            np.float32(kf_thresh))
-        self.video.buf = buf._replace(poses=poses, disps=disps,
-                                      damping=damping)
-
-        if self.upsample and disps_up is not None:
-            uframes = np.unique(ii)
-            self.video.set_disps_up(jnp.asarray(uframes),
-                                    disps_up[jnp.asarray(uframes - g0)])
-
-        for e in self.edges:
-            e[3] += n_iters
-        if kf_pair is not None:
-            return kf_dist
-        return None
+        return dict(packed=packed, ba_shape=ba_shape, nw=nw, EA=EA, g0=g0)
 
     def bump_age(self, n):
         """Account iterations that ran conditionally on-device."""
         for e in self.edges:
             e[3] += n
+
+    # ------------------------------------------------------------------
+    # single-dispatch frame path plumbing
+    # ------------------------------------------------------------------
+
+    def drain_deferred(self):
+        """Padded (mv_src, mv_dst, ae_ii, ae_jj, ae_c, ae_slots) tables for
+        the fused frame program; clears the pending state."""
+        mv_src = np.full(self.capacity, self.capacity + 1, np.int64)
+        mv_dst = np.full(self.capacity, self.target_inac.shape[0] + 1,
+                         np.int64)
+        for n, (s, d) in enumerate(self._pending_moves):
+            mv_src[n] = s
+            mv_dst[n] = d
+        self._pending_moves = []
+        if self._pending_add is None:
+            kb = self.ae_bucket
+            ae_ii = np.zeros(kb, np.int64)
+            ae_jj = np.zeros(kb, np.int64)
+            ae_c = np.zeros(kb, np.int64)
+            ae_slots = np.full(kb, self.capacity + 1, np.int64)
+        else:
+            ae_ii, ae_jj, ae_c, ae_slots = self._pending_add
+            self._pending_add = None
+        return mv_src, mv_dst, ae_ii, ae_jj, ae_c, ae_slots
+
+    def flush_deferred(self):
+        """Eagerly dispatch any deferred moves/adds (fallback path)."""
+        if self._pending_moves:
+            src = np.array([s for s, _ in self._pending_moves], np.int64)
+            dst = np.array([d for _, d in self._pending_moves], np.int64)
+            self._pending_moves = []
+            kb = _bucket(len(src), (4, 8, 16, 32, 64, 128, 256, 512, 1024,
+                                    2048, 4096))
+            src_p = np.zeros(kb, np.int64); src_p[:len(src)] = src
+            dst_p = np.full(kb, self.target_inac.shape[0] + 1, np.int64)
+            dst_p[:len(dst)] = dst
+            self.target_inac, self.weight_inac = _move_rows(
+                (self.target_inac, self.weight_inac),
+                (self.target, self.weight), src_p, dst_p)
+        if self._pending_add is not None:
+            ii_p, jj_p, c, slots_p = self._pending_add
+            self._pending_add = None
+            buf = self.video.buf
+            with_volumes = self.corr_impl == "volume"
+            pyramid = self.pyramid if with_volumes else ()
+            self.net, self.target, self.weight, pyramid = _add_edges_device(
+                buf.poses, buf.disps, buf.intrinsics, buf.nets, buf.fmaps,
+                self.net, self.target, self.weight, pyramid,
+                jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(c),
+                jnp.asarray(slots_p), with_volumes)
+            if with_volumes:
+                self.pyramid = pyramid
 
     # ------------------------------------------------------------------
     # reduced-memory global update (factor_graph.py:267-330)

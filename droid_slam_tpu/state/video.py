@@ -47,16 +47,19 @@ class VideoBuffers(NamedTuple):
     damping: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("fields",), donate_argnames=("buf",))
-def _write_frame(buf: VideoBuffers, index, values: dict, fields: tuple):
-    """Write one keyframe's fields in a single dispatch (each eager
-    .at[].set would cost a full buffer copy + ~17 ms dispatch on the
-    deployment's TPU tunnel). `fields` is the static compile key."""
+def _write_frame_traced(buf: VideoBuffers, index, values: dict,
+                        fields: tuple):
+    """Write one keyframe's fields (an out-of-range `index` drops every
+    write). `fields` is the static compile key."""
     upd = {}
     for name in fields:
         arr = getattr(buf, name)
         upd[name] = arr.at[index].set(values[name].astype(arr.dtype))
     return buf._replace(**upd)
+
+
+_write_frame = jax.jit(_write_frame_traced, static_argnames=("fields",),
+                       donate_argnames=("buf",))
 
 
 @partial(jax.jit, donate_argnames=("buf",))
@@ -132,16 +135,20 @@ class DepthVideo:
     # ------------------------------------------------------------------
 
     def append(self, tstamp, image=None, pose=None, disp=None, depth=None,
-               intrinsics=None, fmap=None, net=None, inp=None):
+               intrinsics=None, fmap=None, net=None, inp=None, defer=False):
         with self._lock:
-            self.set_frame(self.counter, tstamp, image, pose, disp, depth,
-                           intrinsics, fmap, net, inp)
+            return self.set_frame(self.counter, tstamp, image, pose, disp,
+                                  depth, intrinsics, fmap, net, inp,
+                                  defer=defer)
 
     def set_frame(self, index, tstamp, image=None, pose=None, disp=None,
-                  depth=None, intrinsics=None, fmap=None, net=None, inp=None):
+                  depth=None, intrinsics=None, fmap=None, net=None, inp=None,
+                  defer=False):
         """depth_video.py:78-109 semantics; `depth` is a full-res depth map
         subsampled [3::8, 3::8] to inverse depth. All provided fields are
-        written in ONE fused dispatch."""
+        written in ONE fused dispatch — or, with `defer`, returned as
+        (index, values, fields) for a caller that folds the write into a
+        larger program (the single-dispatch frame path)."""
         if image is not None:
             self.images[index] = np.asarray(image)
 
@@ -165,10 +172,20 @@ class DepthVideo:
             values["inps"] = jnp.asarray(inp, jnp.bfloat16)
 
         fields = tuple(sorted(values))
-        self.buf = _write_frame(self.buf, jnp.asarray(index), values, fields)
         if index >= self.counter:
             self.counter = index + 1
         self.dirty[index] = True
+        if defer:
+            return index, values, fields
+        self.buf = _write_frame(self.buf, jnp.asarray(index), values, fields)
+
+    def apply_write(self, wf):
+        """Eagerly dispatch a deferred (index, values, fields) frame write
+        (fallback of the single-dispatch frame path)."""
+        if wf is None:
+            return
+        index, values, fields = wf
+        self.buf = _write_frame(self.buf, jnp.asarray(index), values, fields)
 
     def rm_keyframe(self, ix: int):
         with self._lock:
