@@ -49,7 +49,11 @@ def build_volume(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
                       fmap1.reshape(E, h1 * w1, C).astype(jnp.float32) / 4.0,
                       fmap2.reshape(E, h2 * w2, C).astype(jnp.float32) / 4.0,
                       preferred_element_type=jnp.float32)
-    return corr.reshape(E, h1 * w1, h2, w2)
+    # bf16 inputs -> bf16 volume (the reference's fp16 autocast storage,
+    # modules/corr.py:63-71): halves the HBM traffic of the pyramid pooling
+    # and of every later lookup pass
+    out_dtype = fmap1.dtype if fmap1.dtype == jnp.bfloat16 else jnp.float32
+    return corr.reshape(E, h1 * w1, h2, w2).astype(out_dtype)
 
 
 def build_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
@@ -163,8 +167,11 @@ def _lookup_level_dense(vol: jnp.ndarray, coords: jnp.ndarray, radius: int):
     xpos = x[..., None, None] + (off - r)[None, None, :, None]  # [E,HW,rd,1]
     wx = jnp.clip(1.0 - jnp.abs(
         xpos - jnp.arange(w2, dtype=jnp.float32)), 0.0, 1.0).astype(cdt)
+    # f32 accumulate, then store the intermediate back in the compute dtype:
+    # the [E,HW,h2,rd] cols tensor is ~quarter-GB at L0 and the final corr
+    # features are cast to bf16 for the GRU anyway
     cols = jnp.sum(wx[:, :, None, :, :] * vol[:, :, :, None, :],
-                   axis=-1, dtype=jnp.float32)                  # [E,HW,h2,rd]
+                   axis=-1, dtype=jnp.float32).astype(cdt)      # [E,HW,h2,rd]
     # y-step: out[p,b,a] = sum_h T(y+b-r-h) cols[p,h,a]
     ypos = y[..., None, None] + (off - r)[None, None, :, None]
     wy = jnp.clip(1.0 - jnp.abs(

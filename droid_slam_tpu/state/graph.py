@@ -40,7 +40,7 @@ def _bucket(n, buckets):
 
 ACTIVE_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256)
 WINDOW_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
-AE_BUCKET = 32  # pinned new-edge bucket of the single-dispatch frame path
+AE_BUCKET = 16  # sticky new-edge bucket of the single-dispatch frame path
 
 
 # ---------------------------------------------------------------------------
