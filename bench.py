@@ -119,6 +119,7 @@ def main():
     from droid_slam_tpu.config import DroidConfig
     from droid_slam_tpu.slam import Droid
 
+    use_async = "--async" in sys.argv
     H, W = 320, 512
     # warmup must cover every compile path (init, steady updates, the first
     # age-based evictions at frame ~21)
@@ -129,7 +130,11 @@ def main():
                       keyframe_thresh=-1.0,    # keep every keyframe
                       frontend_window=20, frontend_thresh=17.5,
                       frontend_radius=2, frontend_nms=1)
-    droid = Droid(cfg)
+    if use_async:
+        from droid_slam_tpu.slam.async_droid import DroidAsync
+        droid = DroidAsync(cfg, sleep_time=2.0, backend_iters=4)
+    else:
+        droid = Droid(cfg)
 
     rng = np.random.default_rng(0)
     base = rng.integers(0, 255, size=(H, W, 3)).astype(np.uint8)
@@ -169,11 +174,14 @@ def main():
 
     fps = n_meas / dt
     print(json.dumps({
-        "metric": "keyframe_fps_euroc_mono_320x512",
+        "metric": ("keyframe_fps_euroc_mono_320x512_async" if use_async
+                   else "keyframe_fps_euroc_mono_320x512"),
         "value": round(fps, 3),
         "unit": "keyframes/s",
         "vs_baseline": round(fps / 10.0, 3),
     }))
+    if use_async:
+        droid._stop.set()
 
 
 if __name__ == "__main__":

@@ -26,17 +26,19 @@ from ..models import nets, weights as weights_io
 from ..state.video import DepthVideo
 from .align import align_pose_fragments
 from .backend import DroidAsyncBackend
+from .droid import TrackPipeline
 from .frontend import DroidFrontend
 from .motion_filter import MotionFilter
 from .trajectory_filler import PoseTrajectoryFiller
 
 
-class DroidAsync:
+class DroidAsync(TrackPipeline):
     def __init__(self, config: DroidConfig, sleep_time: float = 10.0,
                  backend_iters: int = 8):
         self.config = config
         self.params = (weights_io.load(config.weights) if config.weights
                        else nets.init_params(jax.random.PRNGKey(0)))
+        self._fused_frame = self._fused_frame_default()
 
         # frontend/backend on separate devices when available
         # (droid_async.py:142-159 --frontend_device/--backend_device)
@@ -50,6 +52,9 @@ class DroidAsync:
         self.filterx = MotionFilter(self.params, self.video,
                                     thresh=config.filter_thresh)
         self.frontend = DroidFrontend(self.params, self.video, config)
+        # speculative proximity-distance plumbing (one sync per frame)
+        self.frontend.motion_filter = self.filterx
+        self.filterx.proximity_probe = self.frontend.proximity_pairs
         self.backend = DroidAsyncBackend(self.params, self.video2, config)
         self.traj_filler = PoseTrajectoryFiller(self.params, self.video2)
 
@@ -121,20 +126,12 @@ class DroidAsync:
 
     # ------------------------------------------------------------------
 
-    def track(self, tstamp, image, depth=None, intrinsics=None):
-        """Pipelined like Droid.track: resolve the previous frame's deferred
-        results, then dispatch this frame's admission test."""
-        self.frontend.finalize()
-        self.filterx.track_finish()
-        self.frontend()
-        self.filterx.track_begin(tstamp, image, depth, intrinsics)
+    # track() inherited from TrackPipeline (incl. the single-dispatch
+    # steady-state frame program)
 
     def terminate(self, stream=None):
         """droid_async.py:200-215."""
-        self.frontend.finalize()
-        self.filterx.track_finish()
-        self.frontend()
-        self.frontend.finalize()
+        self.flush()
         self.video2.ready = True
         self._thread.join(timeout=600)
         self._stop.set()

@@ -20,45 +20,22 @@ from .motion_filter import MotionFilter
 from .trajectory_filler import PoseTrajectoryFiller
 
 
-class Droid:
-    def __init__(self, config: DroidConfig):
-        self.config = config
-        self.params = self._load_params(config.weights)
+class TrackPipeline:
+    """Shared per-frame tracking pipeline (sync Droid + DroidAsync):
+    1-frame-deferred decisions with prefetched readbacks, and the
+    single-dispatch steady-state frame program. Hosts must provide
+    `frontend`, `filterx`, `video`, `params`."""
+
+    @staticmethod
+    def _fused_frame_default():
         # single-dispatch steady-state frame path (slam/fused_frame.py):
         # ~45 ms/frame of tunnel dispatch overhead folded away. On CPU the
         # extra mega-program compile buys nothing (dispatch is cheap), so
         # it defaults off there. Override with DROID_FUSED_FRAME=0/1.
         import os
-        self._fused_frame = os.environ.get(
+        return os.environ.get(
             "DROID_FUSED_FRAME",
             "1" if jax.default_backend() != "cpu" else "0") == "1"
-
-        self.video = DepthVideo(config.image_size, config.buffer,
-                                stereo=config.stereo)
-        self.filterx = MotionFilter(self.params, self.video,
-                                    thresh=config.filter_thresh)
-        self.frontend = DroidFrontend(self.params, self.video, config)
-        # speculative proximity-distance plumbing (one sync per frame)
-        self.frontend.motion_filter = self.filterx
-        self.filterx.proximity_probe = self.frontend.proximity_pairs
-        self.backend = DroidBackend(self.params, self.video, config)
-        self.traj_filler = PoseTrajectoryFiller(self.params, self.video)
-
-        # live visualizer (droid.py:36-39); off unless explicitly enabled
-        self._vis_stop = None
-        if getattr(config, "enable_vis", False):
-            import threading
-            from ..eval.viewer import launch_viewer
-            self._vis_stop = threading.Event()
-            threading.Thread(target=launch_viewer,
-                             args=(self.video, None, self._vis_stop),
-                             daemon=True).start()
-
-    @staticmethod
-    def _load_params(weights_path):
-        if weights_path:
-            return weights_io.load(weights_path)
-        return nets.init_params(jax.random.PRNGKey(0))
 
     def track(self, tstamp, image, depth=None, intrinsics=None):
         """droid.py:61-69, fully pipelined (1-frame decision latency):
@@ -166,6 +143,40 @@ class Droid:
         self._resolve_prev()
         self.frontend()
         self.frontend.finalize()
+
+
+class Droid(TrackPipeline):
+    def __init__(self, config: DroidConfig):
+        self.config = config
+        self.params = self._load_params(config.weights)
+        self._fused_frame = self._fused_frame_default()
+
+        self.video = DepthVideo(config.image_size, config.buffer,
+                                stereo=config.stereo)
+        self.filterx = MotionFilter(self.params, self.video,
+                                    thresh=config.filter_thresh)
+        self.frontend = DroidFrontend(self.params, self.video, config)
+        # speculative proximity-distance plumbing (one sync per frame)
+        self.frontend.motion_filter = self.filterx
+        self.filterx.proximity_probe = self.frontend.proximity_pairs
+        self.backend = DroidBackend(self.params, self.video, config)
+        self.traj_filler = PoseTrajectoryFiller(self.params, self.video)
+
+        # live visualizer (droid.py:36-39); off unless explicitly enabled
+        self._vis_stop = None
+        if getattr(config, "enable_vis", False):
+            import threading
+            from ..eval.viewer import launch_viewer
+            self._vis_stop = threading.Event()
+            threading.Thread(target=launch_viewer,
+                             args=(self.video, None, self._vis_stop),
+                             daemon=True).start()
+
+    @staticmethod
+    def _load_params(weights_path):
+        if weights_path:
+            return weights_io.load(weights_path)
+        return nets.init_params(jax.random.PRNGKey(0))
 
     def terminate(self, stream=None, backend_steps=(7, 12)):
         """droid.py:71-86: final global BA passes + trajectory fill.
