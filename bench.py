@@ -123,7 +123,7 @@ def main():
     H, W = 320, 512
     # warmup must cover every compile path (init, steady updates, the first
     # age-based evictions at frame ~21)
-    n_warm, n_meas = 26, 12
+    n_warm, n_meas = 26, 24
 
     cfg = DroidConfig(buffer=64, image_size=(H, W), warmup=8,
                       filter_thresh=-1.0,      # admit every frame

@@ -71,8 +71,10 @@ def _encode_and_delta_traced(params, images_bgr, fmap_prev, net_prev,
 
     h, w = gmap.shape[1], gmap.shape[2]
     coords0 = pops.coords_grid(h, w)[None]
-    pyramid = corr_ops.build_pyramid(fmap_prev[:1].astype(jnp.float32),
-                                     gmap[0][None].astype(jnp.float32))
+    # bf16 volume + lookup (the reference's CUDA autocast island,
+    # motion_filter.py:39-51); the zero-flow lookup feeds a bf16 GRU anyway
+    pyramid = corr_ops.build_pyramid(fmap_prev[:1].astype(jnp.bfloat16),
+                                     gmap[0][None].astype(jnp.bfloat16))
     corr = corr_ops.lookup_pyramid(pyramid, coords0).astype(jnp.bfloat16)
     _, delta, _ = nets.update_module(params, net_prev[None], inp_prev[None],
                                      corr)
