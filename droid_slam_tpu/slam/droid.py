@@ -114,25 +114,37 @@ class TrackPipeline:
              ae_ii, ae_jj, ae_c, ae_slots, up_dst, pi, pj)
         ]).astype(np.int32)
 
-        (v.buf, g.net, g.target, g.weight, g.pyramid, g.target_inac,
-         g.weight_inac, gmap, net1, inp1, out_vec) = fused_frame.frame_step(
+        # part A: write + evictions + adds + iters1 + probes + encode.
+        # Its readback vector's host copy crosses the tunnel while part B
+        # (conditional iters2 + motion model) computes, so the next frame's
+        # dispatch queues behind B with no device idle.
+        (buf_mid, g.pyramid, g.target_inac, g.weight_inac, st, kf_dist,
+         gmap, net1, inp1, out_vec) = fused_frame.frame_step_a(
             self.params, v.buf, g.net, g.target, g.weight, g.pyramid,
             g.target_inac, g.weight_inac,
             wf_values, wf_fields,
             packed_frame, len(ae_ii), len(pi), g.corr_impl == "volume",
             tb["packed"], tb["nw"], tb["EA"], g.lookup_impl, tb["ba_shape"],
-            np.int32(sc["n_iters"]), g.upsample, np.float32(sc["kf_beta"]),
+            np.int32(sc["n_iters"]), np.float32(sc["kf_beta"]),
             np.int32(sc["do_next_state"]),
-            np.float32(sc["motion_damping"]), np.int32(sc["n_iters2"]),
-            np.float32(sc["kf_thresh"]), np.float32(beta),
+            np.float32(sc["motion_damping"]), np.float32(beta),
             image_dev)
-
-        self._pending_vec = out_vec
-        self._pending_ran_upd = run_upd
         try:
             out_vec.copy_to_host_async()
         except Exception:
             pass
+
+        (v.buf, g.net, g.target, g.weight) = fused_frame.frame_step_b(
+            self.params, buf_mid, g.pyramid, g.target_inac, g.weight_inac,
+            st, kf_dist,
+            packed_frame, len(ae_ii), len(pi),
+            tb["packed"], tb["nw"], tb["EA"], g.lookup_impl, tb["ba_shape"],
+            g.upsample, np.int32(sc["do_next_state"]),
+            np.float32(sc["motion_damping"]), np.int32(sc["n_iters2"]),
+            np.float32(sc["kf_thresh"]))
+
+        self._pending_vec = out_vec
+        self._pending_ran_upd = run_upd
         if run_upd:
             g.bump_age(sc["n_iters"])
         mf.track_begin_complete(gmap, net1, inp1)

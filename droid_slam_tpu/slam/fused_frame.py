@@ -1,28 +1,40 @@
-"""Single-dispatch steady-state frame program.
+"""Steady-state frame pipeline as TWO chained device programs.
 
 The reference's per-frame hot path (droid_slam/droid.py:61-69) is a chain of
-small GPU launches; on this deployment's tunneled TPU every dispatch costs
-~15-20 ms of wall clock even when pipelined, which at ~97 ms of device
-compute per frame made dispatch overhead a third of the frame budget. This
-module fuses the whole per-frame device sequence into ONE XLA program:
+small GPU launches; on this deployment's tunneled TPU the binding wall-clock
+cost is the serial decision cycle — the host cannot build frame t's tables
+before reading frame t-1's admission delta, keyframe-probe distance, and
+proximity distances, and one dependent readback->redispatch cycle costs
+~35-40 ms even with async copies (dispatches themselves pipeline fine).
 
-  1. keyframe write of the previous frame's features (state/video.py
-     `_write_frame_traced`; sentinel index when the frame was rejected);
-  2. active->inactive edge eviction moves (`_move_rows_traced`);
-  3. new-edge initialization (`_add_edges_traced`);
-  4. the fused N x (ConvGRU + DBA) update with keyframe probe and
-     next-frame motion model (`_fused_update_traced`);
-  5. fnet/cnet encode + admission delta + speculative proximity distances
-     for the incoming frame (slam/motion_filter.py
-     `_encode_and_delta_traced`).
+The split hides that cycle behind device time:
+
+  part A (`frame_step_a`): previous-frame keyframe write -> edge eviction
+    moves -> new-edge init -> iters1 x (ConvGRU+DBA) -> keyframe probe
+    (post-iters1, exactly the reference's placement,
+    droid_frontend.py:90-98) -> proximity probe distances -> fnet/cnet
+    encode + admission delta of the incoming frame. Emits ONE readback
+    vector [kf_dist, delta, distances...].
+  part B (`frame_step_b`): conditional iters2 refinement (gated on-device
+    by kf_dist) -> next-frame motion model -> optional convex upsampling.
+
+The host dispatches A(t) and B(t) back-to-back; A(t)'s readback copy
+crosses the tunnel while B(t) computes, so by the time frame t+1 arrives
+the decisions are host-side and the next dispatch queues behind B(t) with
+(almost) no device idle.
+
+Known deviation from the reference (documented in BENCH_NOTES.md): the
+proximity-proposal distances are computed after iters1 rather than after
+iters2, with the next keyframe's motion-model pose applied hypothetically —
+necessary to get them off the serial critical path. The keyframe probe and
+the admission delta are placement-exact. DROID_FUSED_FRAME=0 restores the
+strictly sequential multi-dispatch path.
 
 All host decisions feeding the tables were resolved from the PREVIOUS
-frame's prefetched readbacks, so the host dispatches this program without
-blocking on in-flight device work. Every index table is padded to a sticky
+frame's prefetched readbacks. Every index table is padded to a sticky
 bucket (sentinel indices drop dead writes) and shipped in ONE int32 vector
-(`packed_frame`) — per-array host->device transfers each cost a tunnel
-round trip — keeping both the transfer count and the compile key frozen
-frame-to-frame.
+(`packed_frame`), keeping both the transfer count and the compile key
+frozen frame-to-frame.
 
 packed_frame layout (static offsets; lengths are compile keys):
   [wf_index, kf_index,
@@ -37,25 +49,14 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 
 from ..state import graph as graph_mod
 from ..state import video as video_mod
-from .motion_filter import _encode_and_delta_traced
+from .motion_filter import _encode_delta_traced
 
 
-@partial(jax.jit,
-         static_argnames=("wf_fields", "kb", "pb", "with_volumes", "nw",
-                          "ea", "lookup_impl", "ba_shape", "upsample"),
-         donate_argnames=("buf", "nets_e", "target", "weight", "pyramid",
-                          "target_inac", "weight_inac"))
-def frame_step(params, buf, nets_e, target, weight, pyramid, target_inac,
-               weight_inac,
-               wf_values, wf_fields,
-               packed_frame, kb, pb, with_volumes,
-               packed, nw, ea, lookup_impl, ba_shape,
-               n_iters, upsample, kf_beta, do_next_state, motion_damping,
-               n_iters2, kf_thresh, beta,
-               image):
+def _unpack_packed_frame(packed_frame, ea, kb, nw, pb):
     off = [0]
 
     def take(n):
@@ -74,6 +75,25 @@ def frame_step(params, buf, nets_e, target, weight, pyramid, target_inac,
     up_dst = take(nw)
     pair_ii = take(pb)
     pair_jj = take(pb)
+    return (wf_index, kf_index, mv_src, mv_dst, ae_ii, ae_jj, ae_c,
+            ae_slots, up_dst, pair_ii, pair_jj)
+
+
+@partial(jax.jit,
+         static_argnames=("wf_fields", "kb", "pb", "with_volumes", "nw",
+                          "ea", "lookup_impl", "ba_shape"),
+         donate_argnames=("buf", "nets_e", "target", "weight", "pyramid",
+                          "target_inac", "weight_inac"))
+def frame_step_a(params, buf, nets_e, target, weight, pyramid, target_inac,
+                 weight_inac,
+                 wf_values, wf_fields,
+                 packed_frame, kb, pb, with_volumes,
+                 packed, nw, ea, lookup_impl, ba_shape,
+                 n_iters, kf_beta, do_next_state, motion_damping, beta,
+                 image):
+    (wf_index, kf_index, mv_src, mv_dst, ae_ii, ae_jj, ae_c, ae_slots,
+     _up_dst, pair_ii, pair_jj) = _unpack_packed_frame(
+        packed_frame, ea, kb, nw, pb)
 
     buf = video_mod._write_frame_traced(buf, wf_index, wf_values, wf_fields)
 
@@ -85,26 +105,61 @@ def frame_step(params, buf, nets_e, target, weight, pyramid, target_inac,
         nets_e, target, weight, pyramid, ae_ii, ae_jj, ae_c, ae_slots,
         with_volumes)
 
-    (poses, disps, damping, nets_e, target, weight, _eta, _upmask, disps_up,
-     kf_dist) = graph_mod._fused_update_traced(
+    state, kf_dist = graph_mod._fused_update_part_a(
         params, buf.poses, buf.disps, buf.disps_sens, buf.damping,
         buf.intrinsics, buf.inps, pyramid, nets_e, target, weight,
         target_inac, weight_inac, packed, nw, ea, lookup_impl, ba_shape,
-        1e-4, 0.1, n_iters, upsample, kf_beta, do_next_state,
-        motion_damping, n_iters2, kf_thresh)
+        1e-4, 0.1, n_iters, kf_beta)
+
+    # proximity probe on the post-iters1 state, with the next keyframe's
+    # motion-model pose applied hypothetically (part B will write it for
+    # real after the conditional refinement)
+    (_plan, _s, _i, _j, _v, _in, _kf, _g0, ns_t1,
+     _sf) = graph_mod._unpack_frame_tables(packed, ba_shape, ea)
+    poses_s, disps_s = state[0], state[1]
+    new_pose, new_disp = graph_mod._next_state_pose_disp(
+        poses_s, disps_s, ns_t1, motion_damping)
+    on = do_next_state > 0
+    poses_p = poses_s.at[ns_t1].set(
+        jnp.where(on, new_pose, poses_s[ns_t1]))
+    disps_p = disps_s.at[ns_t1].set(
+        jnp.where(on, new_disp, disps_s[ns_t1]))
+    from ..geom import distance as gdist
+    d = gdist.frame_distance(poses_p, disps_p, buf.intrinsics[0],
+                             pair_ii, pair_jj, beta, bidirectional=True)
+
+    gmap, net1, inp1, dn = _encode_delta_traced(
+        params, image, buf.fmaps[kf_index], buf.nets[kf_index],
+        buf.inps[kf_index])
+
+    # ONE readback vector: [kf_dist, admission delta, probe distances]
+    out_vec = jnp.concatenate([kf_dist[None], dn[None], d])
+
+    return (buf, pyramid, target_inac, weight_inac, state, kf_dist,
+            gmap, net1, inp1, out_vec)
+
+
+@partial(jax.jit,
+         static_argnames=("kb", "pb", "nw", "ea", "lookup_impl", "ba_shape",
+                          "upsample"),
+         donate_argnames=("buf", "state"))
+def frame_step_b(params, buf, pyramid, target_inac, weight_inac, state,
+                 kf_dist,
+                 packed_frame, kb, pb,
+                 packed, nw, ea, lookup_impl, ba_shape,
+                 upsample, do_next_state, motion_damping, n_iters2,
+                 kf_thresh):
+    (_wf, _kf, _ms, _md, _ai, _aj, _ac, _as, up_dst, _pi,
+     _pj) = _unpack_packed_frame(packed_frame, ea, kb, nw, pb)
+
+    (poses, disps, damping, nets_e, target, weight, _eta, _upmask,
+     disps_up) = graph_mod._fused_update_part_b(
+        state, kf_dist, params, buf.disps_sens, buf.intrinsics, buf.inps,
+        pyramid, target_inac, weight_inac, packed, nw, ea, lookup_impl,
+        ba_shape, 1e-4, 0.1, upsample, do_next_state, motion_damping,
+        n_iters2, kf_thresh)
+
     buf = buf._replace(poses=poses, disps=disps, damping=damping)
     if upsample and disps_up is not None:
         buf = buf._replace(disps_up=buf.disps_up.at[up_dst].set(disps_up))
-
-    gmap, net1, inp1, merged = _encode_and_delta_traced(
-        params, image, buf.fmaps[kf_index], buf.nets[kf_index],
-        buf.inps[kf_index], buf.poses, buf.disps, buf.intrinsics,
-        pair_ii, pair_jj, beta)
-
-    # ONE readback vector: [kf_dist, admission delta, probe distances] —
-    # separate host copies each cost a tunnel round trip
-    import jax.numpy as jnp
-    out_vec = jnp.concatenate([kf_dist[None], merged])
-
-    return (buf, nets_e, target, weight, pyramid, target_inac, weight_inac,
-            gmap, net1, inp1, out_vec)
+    return buf, nets_e, target, weight

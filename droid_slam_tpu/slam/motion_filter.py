@@ -43,6 +43,29 @@ def _encode_fnet_raw(params, images_bgr):
 _encode_fnet = jax.jit(_encode_fnet_raw)
 
 
+def _encode_delta_traced(params, images_bgr, fmap_prev, net_prev, inp_prev):
+    """fnet/cnet encode + zero-flow admission delta (no distance probe):
+    the encode half of `_encode_and_delta_traced`, used by the split
+    frame pipeline where the probe runs with the update."""
+    gmap = _encode_fnet_raw(params, images_bgr)
+    x = nets.normalize_images(images_bgr[:1]).astype(jnp.bfloat16)
+    cmap = nets.basic_encoder(params, "cnet", x, "none")
+    net_c, inp_c = jnp.split(cmap, 2, axis=-1)
+    net, inp = jnp.tanh(net_c), jax.nn.relu(inp_c)
+
+    h, w = gmap.shape[1], gmap.shape[2]
+    coords0 = pops.coords_grid(h, w)[None]
+    # bf16 volume + lookup (the reference's CUDA autocast island,
+    # motion_filter.py:39-51); the zero-flow lookup feeds a bf16 GRU anyway
+    pyramid = corr_ops.build_pyramid(fmap_prev[:1].astype(jnp.bfloat16),
+                                     gmap[0][None].astype(jnp.bfloat16))
+    corr = corr_ops.lookup_pyramid(pyramid, coords0).astype(jnp.bfloat16)
+    _, delta, _ = nets.update_module(params, net_prev[None], inp_prev[None],
+                                     corr)
+    dn = jnp.mean(jnp.linalg.norm(delta.astype(jnp.float32), axis=-1))
+    return gmap, net[0], inp[0], dn
+
+
 def _encode_and_delta_traced(params, images_bgr, fmap_prev, net_prev,
                              inp_prev, poses, disps, intr0, pair_ii, pair_jj,
                              beta):
@@ -63,27 +86,13 @@ def _encode_and_delta_traced(params, images_bgr, fmap_prev, net_prev,
     All indexing of persistent device state (last-keyframe fmap stack,
     intrinsics row 0) happens INSIDE this program: eager indexing on the
     host would each cost a ~15-20 ms dispatch on the tunnel deployment."""
-    gmap = _encode_fnet_raw(params, images_bgr)
-    x = nets.normalize_images(images_bgr[:1]).astype(jnp.bfloat16)
-    cmap = nets.basic_encoder(params, "cnet", x, "none")
-    net_c, inp_c = jnp.split(cmap, 2, axis=-1)
-    net, inp = jnp.tanh(net_c), jax.nn.relu(inp_c)
-
-    h, w = gmap.shape[1], gmap.shape[2]
-    coords0 = pops.coords_grid(h, w)[None]
-    # bf16 volume + lookup (the reference's CUDA autocast island,
-    # motion_filter.py:39-51); the zero-flow lookup feeds a bf16 GRU anyway
-    pyramid = corr_ops.build_pyramid(fmap_prev[:1].astype(jnp.bfloat16),
-                                     gmap[0][None].astype(jnp.bfloat16))
-    corr = corr_ops.lookup_pyramid(pyramid, coords0).astype(jnp.bfloat16)
-    _, delta, _ = nets.update_module(params, net_prev[None], inp_prev[None],
-                                     corr)
-    dn = jnp.mean(jnp.linalg.norm(delta.astype(jnp.float32), axis=-1))
+    gmap, net, inp, dn = _encode_delta_traced(params, images_bgr, fmap_prev,
+                                              net_prev, inp_prev)
 
     from ..geom import distance as gdist
     d = gdist.frame_distance(poses, disps, intr0[0], pair_ii, pair_jj, beta,
                              bidirectional=True)
-    return gmap, net[0], inp[0], jnp.concatenate([dn[None], d])
+    return gmap, net, inp, jnp.concatenate([dn[None], d])
 
 
 _encode_and_delta = jax.jit(_encode_and_delta_traced)

@@ -120,25 +120,9 @@ def _pack_indices(*arrays):
                            for a in arrays])
 
 
-def _fused_update_traced(params, poses, disps, disps_sens, damping, intrinsics,
-                         inps_buf, pyramid, nets_e, target, weight,
-                         target_inac_buf, weight_inac_buf, packed,
-                         nw: int, ea: int, lookup_impl: str,
-                         ba_shape, lm, ep, n_iters, upsample: bool,
-                         kf_beta=0.3, do_next_state=0, motion_damping=0.0,
-                         n_iters2=0, kf_thresh=-1.0):
-    """N x (ConvGRU update + DBA) fused into ONE XLA program — one dispatch
-    per frontend call instead of ~8 (each dispatch costs ~10-20 ms over the
-    deployment's TPU tunnel; fusing is also what lets XLA overlap the GRU
-    convs with the BA linear algebra).
-
-    `packed` carries every per-frame index table (BA plan, active-edge
-    views, inactive slots, keyframe probe) as one int32 vector; it is
-    unpacked here with static offsets. The iteration count and the
-    next-state flag are DYNAMIC (fori_loop / where), so one compiled program
-    serves every frontend call — each distinct compile of this program costs
-    many minutes on the deployment's remote compiler.
-    """
+def _unpack_frame_tables(packed, ba_shape, ea):
+    """Static-offset unpack of the per-frame index vector (BA plan,
+    active-edge views, inactive slots, keyframe probe, scalars)."""
     E = ba_shape.edges
     NWp = ba_shape.window
     RMAX = ba_shape.rmax
@@ -164,21 +148,23 @@ def _fused_update_traced(params, poses, disps, disps_sens, damping, intrinsics,
     g0 = take(1)[0]
     ns_t1 = take(1)[0]
     sens_frame = take(1)[0]
-    h, w = disps.shape[-2:]
-    hw = h * w
+    return (plan, slots, ii, jj, valid, inac_slots, kf_pair, g0, ns_t1,
+            sens_frame)
+
+
+def _make_iteration(params, disps_sens, intrinsics, inps_buf, pyramid,
+                    target_inac_buf, weight_inac_buf, plan, slots, ii, jj,
+                    valid, inac_slots, g0, nw, lookup_impl, ba_shape, lm, ep):
+    """One (GRU update + DBA) iteration as a state->state closure
+    (factor_graph.py:215-263 semantics)."""
     win = g0 + jnp.arange(nw)
     tgt_inac = target_inac_buf[inac_slots]
     wgt_inac = weight_inac_buf[inac_slots]
 
-    # RGB-D: overwrite disparity where the sensor is valid, fused into this
-    # dispatch (droid_frontend.py:84-88; sens_frame < 0 skips)
-    sfc = jnp.clip(sens_frame, 0)
-    sens_sf = disps_sens[sfc]
-    disps = disps.at[sfc].set(
-        jnp.where((sens_frame >= 0) & (sens_sf > 0), sens_sf, disps[sfc]))
-
     def iteration(state):
         poses, disps, damping, nets_e, target, weight, _, _ = state
+        h, w = disps.shape[-2:]
+        hw = h * w
         net_e, tgt_e, wgt_e, eta, upmask, _ = _update_core_traced(
             params, poses, disps, intrinsics, inps_buf, pyramid, nets_e,
             target, weight, slots, ii, jj, valid, g0, nw, lookup_impl)
@@ -212,6 +198,46 @@ def _fused_update_traced(params, poses, disps, disps_sens, damping, intrinsics,
         return (poses, disps, damping, nets_e, target, weight, eta,
                 upmask.astype(jnp.bfloat16))
 
+    return iteration
+
+
+def _next_state_pose_disp(poses, disps, ns_t1, motion_damping):
+    """droid_frontend.py:49-63 motion model values for the next frame."""
+    from ..lie import se3 as _se3
+    dwin = jax.lax.dynamic_slice_in_dim(disps, ns_t1 - 3, 2, axis=0)
+    p_prev = poses[ns_t1 - 1]
+    vel = _se3.log(_se3.mul(p_prev, _se3.inv(poses[ns_t1 - 2])))
+    new_pose = _se3.mul(_se3.exp(motion_damping * vel), p_prev)
+    return new_pose, jnp.quantile(dwin, 0.5)
+
+
+def _fused_update_part_a(params, poses, disps, disps_sens, damping,
+                         intrinsics, inps_buf, pyramid, nets_e, target,
+                         weight, target_inac_buf, weight_inac_buf, packed,
+                         nw: int, ea: int, lookup_impl: str, ba_shape,
+                         lm, ep, n_iters, kf_beta):
+    """iters1 half of the fused update: RGB-D sensor overwrite, n_iters x
+    (GRU+DBA), and the keyframe-distance probe (which the reference computes
+    after iters1, droid_frontend.py:90-98). Returns the iteration-carry
+    state + kf_dist so part B (conditional refinement + motion model) can
+    run in a separate dispatch whose device time hides the probe's host
+    copy latency."""
+    tabs = _unpack_frame_tables(packed, ba_shape, ea)
+    (plan, slots, ii, jj, valid, inac_slots, kf_pair, g0, ns_t1,
+     sens_frame) = tabs
+
+    # RGB-D: overwrite disparity where the sensor is valid, fused into this
+    # dispatch (droid_frontend.py:84-88; sens_frame < 0 skips)
+    sfc = jnp.clip(sens_frame, 0)
+    sens_sf = disps_sens[sfc]
+    disps = disps.at[sfc].set(
+        jnp.where((sens_frame >= 0) & (sens_sf > 0), sens_sf, disps[sfc]))
+
+    iteration = _make_iteration(
+        params, disps_sens, intrinsics, inps_buf, pyramid, target_inac_buf,
+        weight_inac_buf, plan, slots, ii, jj, valid, inac_slots, g0, nw,
+        lookup_impl, ba_shape, lm, ep)
+
     h8, w8 = disps.shape[-2:]
     state = (poses, disps, damping, nets_e, target, weight,
              jnp.zeros((nw, h8, w8)),
@@ -223,10 +249,26 @@ def _fused_update_traced(params, poses, disps, disps_sens, damping, intrinsics,
     kf_dist = gdist.frame_distance(
         state[0], state[1], intrinsics[0], kf_pair[:1], kf_pair[1:2],
         kf_beta, bidirectional=True)[0]
-    keep_kf = kf_dist >= 2.0 * kf_thresh
+    return state, kf_dist
 
-    # refinement iterations run only when the keyframe is kept
-    # (droid_frontend.py:98-107) — conditional inside the same dispatch
+
+def _fused_update_part_b(state, kf_dist, params, disps_sens, intrinsics,
+                         inps_buf, pyramid, target_inac_buf, weight_inac_buf,
+                         packed, nw: int, ea: int, lookup_impl: str,
+                         ba_shape, lm, ep, upsample: bool, do_next_state,
+                         motion_damping, n_iters2, kf_thresh):
+    """Conditional iters2 refinement (droid_frontend.py:98-107) + next-frame
+    motion model + optional convex upsampling, from part A's carry state."""
+    tabs = _unpack_frame_tables(packed, ba_shape, ea)
+    (plan, slots, ii, jj, valid, inac_slots, _kf_pair, g0, ns_t1,
+     _sens_frame) = tabs
+
+    iteration = _make_iteration(
+        params, disps_sens, intrinsics, inps_buf, pyramid, target_inac_buf,
+        weight_inac_buf, plan, slots, ii, jj, valid, inac_slots, g0, nw,
+        lookup_impl, ba_shape, lm, ep)
+
+    keep_kf = kf_dist >= 2.0 * kf_thresh
     state = jax.lax.cond(
         keep_kf,
         lambda s: jax.lax.fori_loop(0, n_iters2, lambda _, x: iteration(x), s),
@@ -236,22 +278,51 @@ def _fused_update_traced(params, poses, disps, disps_sens, damping, intrinsics,
 
     disps_up = None
     if upsample:
+        win = g0 + jnp.arange(nw)
         disps_up = nets.upsample_disp(disps[win], upmask_last.astype(
             jnp.float32))
 
     # droid_frontend.py:49-63 motion model for the next incoming frame,
     # applied when requested and the keyframe was kept
-    from ..lie import se3 as _se3
-    dwin = jax.lax.dynamic_slice_in_dim(disps, ns_t1 - 3, 2, axis=0)
-    p_prev = poses[ns_t1 - 1]
-    vel = _se3.log(_se3.mul(p_prev, _se3.inv(poses[ns_t1 - 2])))
-    new_pose = _se3.mul(_se3.exp(motion_damping * vel), p_prev)
+    new_pose, new_disp = _next_state_pose_disp(poses, disps, ns_t1,
+                                               motion_damping)
     on = (do_next_state > 0) & keep_kf
-    poses = poses.at[ns_t1].set(
-        jnp.where(on, new_pose, poses[ns_t1]))
-    disps = disps.at[ns_t1].set(
-        jnp.where(on, jnp.quantile(dwin, 0.5), disps[ns_t1]))
+    poses = poses.at[ns_t1].set(jnp.where(on, new_pose, poses[ns_t1]))
+    disps = disps.at[ns_t1].set(jnp.where(on, new_disp, disps[ns_t1]))
 
+    return (poses, disps, damping, nets_e, target, weight, eta_last,
+            upmask_last, disps_up)
+
+
+def _fused_update_traced(params, poses, disps, disps_sens, damping, intrinsics,
+                         inps_buf, pyramid, nets_e, target, weight,
+                         target_inac_buf, weight_inac_buf, packed,
+                         nw: int, ea: int, lookup_impl: str,
+                         ba_shape, lm, ep, n_iters, upsample: bool,
+                         kf_beta=0.3, do_next_state=0, motion_damping=0.0,
+                         n_iters2=0, kf_thresh=-1.0):
+    """N x (ConvGRU update + DBA) fused into ONE XLA program — one dispatch
+    per frontend call instead of ~8 (each dispatch costs ~10-20 ms over the
+    deployment's TPU tunnel; fusing is also what lets XLA overlap the GRU
+    convs with the BA linear algebra).
+
+    `packed` carries every per-frame index table (BA plan, active-edge
+    views, inactive slots, keyframe probe) as one int32 vector; it is
+    unpacked with static offsets. The iteration count and the next-state
+    flag are DYNAMIC (fori_loop / where), so one compiled program serves
+    every frontend call — each distinct compile of this program costs many
+    minutes on the deployment's remote compiler.
+    """
+    state, kf_dist = _fused_update_part_a(
+        params, poses, disps, disps_sens, damping, intrinsics, inps_buf,
+        pyramid, nets_e, target, weight, target_inac_buf, weight_inac_buf,
+        packed, nw, ea, lookup_impl, ba_shape, lm, ep, n_iters, kf_beta)
+    (poses, disps, damping, nets_e, target, weight, eta_last, upmask_last,
+     disps_up) = _fused_update_part_b(
+        state, kf_dist, params, disps_sens, intrinsics, inps_buf, pyramid,
+        target_inac_buf, weight_inac_buf, packed, nw, ea, lookup_impl,
+        ba_shape, lm, ep, upsample, do_next_state, motion_damping, n_iters2,
+        kf_thresh)
     return (poses, disps, damping, nets_e, target, weight, eta_last,
             upmask_last, disps_up, kf_dist)
 
