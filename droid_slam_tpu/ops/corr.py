@@ -172,12 +172,15 @@ def _lookup_level_dense(vol: jnp.ndarray, coords: jnp.ndarray, radius: int):
     # features are cast to bf16 for the GRU anyway
     cols = jnp.sum(wx[:, :, None, :, :] * vol[:, :, :, None, :],
                    axis=-1, dtype=jnp.float32).astype(cdt)      # [E,HW,h2,rd]
-    # y-step: out[p,b,a] = sum_h T(y+b-r-h) cols[p,h,a]
+    # y-step: out[p,b,a] = sum_h T(y+b-r-h) cols[p,h,a]. The tent weights
+    # multiply in the compute dtype too — an f32 wy forces XLA to
+    # materialize an f32 upconversion of the quarter-GB cols intermediate
+    # (profiled at ~1.7 ms/frame); accumulation stays f32 via the dtype arg
     ypos = y[..., None, None] + (off - r)[None, None, :, None]
     wy = jnp.clip(1.0 - jnp.abs(
-        ypos - jnp.arange(h2, dtype=jnp.float32)), 0.0, 1.0)   # [E,HW,rd,h2]
+        ypos - jnp.arange(h2, dtype=jnp.float32)), 0.0, 1.0).astype(cdt)
     out = jnp.sum(wy[:, :, :, :, None] * cols[:, :, None, :, :],
-                  axis=-2)                                      # [E,HW,rd(b),rd(a)]
+                  axis=-2, dtype=jnp.float32)                   # [E,HW,rd(b),rd(a)]
     return out.transpose(0, 1, 3, 2).reshape(E, HW, rd * rd)
 
 

@@ -39,6 +39,8 @@ class DroidAsync(TrackPipeline):
         self.params = (weights_io.load(config.weights) if config.weights
                        else nets.init_params(jax.random.PRNGKey(0)))
         self._fused_frame = self._fused_frame_default()
+        self._spec_frame = self._fused_frame and self._spec_frame_default()
+        self._spec_meta = None
 
         # frontend/backend on separate devices when available
         # (droid_async.py:142-159 --frontend_device/--backend_device)

@@ -37,6 +37,23 @@ class TrackPipeline:
             "DROID_FUSED_FRAME",
             "1" if jax.default_backend() != "cpu" else "0") == "1"
 
+    @staticmethod
+    def _spec_frame_default():
+        # speculative dispatch (BENCH_NOTES round-3 sketch, shipped round
+        # 4): the steady-state frame is dispatched BEFORE the previous
+        # frame's admission/keep readback resolves — on-device gates mask a
+        # mis-speculated frame's writes and the host unwinds its numpy
+        # bookkeeping. Removes the serial readback->dispatch tunnel cycle
+        # (~16 ms/frame here). Deviation from the strict path: the
+        # proximity-proposal distances are probed one frame earlier
+        # (probe_lead=2). DROID_SPEC_FRAME=0/1 overrides; default follows
+        # the fused-frame default (accelerators only).
+        import os
+        v = os.environ.get("DROID_SPEC_FRAME")
+        if v is not None:
+            return v == "1"
+        return jax.default_backend() != "cpu"
+
     def track(self, tstamp, image, depth=None, intrinsics=None):
         """droid.py:61-69, fully pipelined (1-frame decision latency):
         each arriving frame first RESOLVES the previous frame's deferred
@@ -46,15 +63,34 @@ class TrackPipeline:
         keyframe, then DISPATCHES this frame's admission test. The host
         never blocks on in-flight device work, so the frame rate is set by
         device compute, not by sync round trips. In steady state the whole
-        per-frame device sequence is ONE dispatch (slam/fused_frame.py)."""
+        per-frame device sequence is ONE dispatch (slam/fused_frame.py) —
+        and with speculative dispatch enabled it is issued BEFORE the
+        previous readback resolves (see _track_fused_spec)."""
         if (self._fused_frame and self.frontend.is_initialized
                 and self.filterx._pending is not None
                 and self.frontend.graph.edges):
-            self._track_fused(tstamp, image, depth, intrinsics)
+            if (getattr(self, "_spec_frame", False)
+                    and getattr(self, "_pending_vec", None) is not None
+                    and getattr(self, "_spec_meta", None) is not None):
+                self._track_fused_spec(tstamp, image, depth, intrinsics)
+            else:
+                self._track_fused(tstamp, image, depth, intrinsics)
             return
         self._resolve_prev()
         self.frontend()
         self.filterx.track_begin(tstamp, image, depth, intrinsics)
+
+    def _spec_args(self, prev_vec=None, spec_mode=0, adm_thresh=0.0,
+                   keep_thresh=0.0, probe_lead=None):
+        """(prev_vec, spec_mode, adm_thresh, keep_thresh, probe_lead) args
+        of the frame programs. Non-speculative dispatches pass forced-true
+        gates (spec_mode=0) and a zero vector of the same sticky shape."""
+        if probe_lead is None:
+            probe_lead = getattr(self.frontend, "probe_lead", 1)
+        if prev_vec is None:
+            prev_vec = np.zeros(2 + self.filterx._pb_bucket, np.float32)
+        return (prev_vec, np.int32(spec_mode), np.float32(adm_thresh),
+                np.float32(keep_thresh), np.int32(probe_lead))
 
     def _resolve_prev(self, defer=False):
         """Resolve the previous frame's deferred readbacks (keyframe probe +
@@ -64,6 +100,8 @@ class TrackPipeline:
         if getattr(self, "_pending_vec", None) is not None:
             vec = np.asarray(self._pending_vec)  # one prefetched sync
             self._pending_vec = None
+            self._delta_log = getattr(self, "_delta_log", [])
+            self._delta_log.append(float(vec[1]))
             self.frontend.finalize(
                 kf_value=float(vec[0]) if self._pending_ran_upd else None)
             return self.filterx.track_finish(
@@ -71,20 +109,15 @@ class TrackPipeline:
         self.frontend.finalize()
         return self.filterx.track_finish(defer=defer)
 
-    def _track_fused(self, tstamp, image, depth, intrinsics):
-        """Steady-state frame as a single device dispatch."""
+    def _fused_build_and_dispatch(self, tstamp, img, image_dev, depth,
+                                  intrinsics, wf, spec):
+        """Shared tail of the fused frame: table build + the A/B dispatch
+        pair + deferred-stash bookkeeping. `wf` is the (possibly gated)
+        keyframe-write table, `spec` the gate args from _spec_args."""
         from . import fused_frame
         f, mf, v = self.frontend, self.filterx, self.video
         g = f.graph
 
-        # start the ~0.5 MB image upload NOW — it crosses the tunnel while
-        # the host waits on the previous frame's readback below
-        img = np.asarray(image)
-        if img.ndim == 3:
-            img = img[None]
-        image_dev = jax.device_put(img)
-
-        wf = self._resolve_prev(defer=True)
         g.defer = True
         try:
             run_upd = f.t1 < v.counter
@@ -128,7 +161,7 @@ class TrackPipeline:
             np.int32(sc["n_iters"]), np.float32(sc["kf_beta"]),
             np.int32(sc["do_next_state"]),
             np.float32(sc["motion_damping"]), np.float32(beta),
-            image_dev)
+            image_dev, *spec)
         try:
             out_vec.copy_to_host_async()
         except Exception:
@@ -141,17 +174,190 @@ class TrackPipeline:
             tb["packed"], tb["nw"], tb["EA"], g.lookup_impl, tb["ba_shape"],
             g.upsample, np.int32(sc["do_next_state"]),
             np.float32(sc["motion_damping"]), np.int32(sc["n_iters2"]),
-            np.float32(sc["kf_thresh"]))
+            np.float32(sc["kf_thresh"]), *spec[:4])
 
         self._pending_vec = out_vec
         self._pending_ran_upd = run_upd
+        self._spec_meta = dict(
+            ran_upd=run_upd, probe_key=f._probe_key,
+            n_pairs=(mf._pending[-1] if mf._pending else 0),
+            tstamp=tstamp, img=img, depth=depth, intrinsics=intrinsics)
         if run_upd:
             g.bump_age(sc["n_iters"])
         mf.track_begin_complete(gmap, net1, inp1)
 
+    def _track_fused(self, tstamp, image, depth, intrinsics):
+        """Steady-state frame as a single device dispatch (strict order:
+        the previous readback is resolved BEFORE this frame's tables)."""
+        # start the ~0.5 MB image upload NOW — it crosses the tunnel while
+        # the host waits on the previous frame's readback below
+        img = np.asarray(image)
+        if img.ndim == 3:
+            img = img[None]
+        image_dev = jax.device_put(img)
+
+        wf = self._resolve_prev(defer=True)
+        self.frontend.probe_lead = 2 if self._spec_frame else 1
+        self._fused_build_and_dispatch(tstamp, img, image_dev, depth,
+                                       intrinsics, wf, self._spec_args())
+
+    # ------------------------------------------------------------------
+    # speculative dispatch (BENCH_NOTES round-3 sketch, shipped round 4)
+    # ------------------------------------------------------------------
+
+    def _spec_snapshot(self):
+        """Host bookkeeping snapshot for speculation unwind — tiny (a few
+        dozen list/array copies); device state needs no snapshot because a
+        mis-speculated frame's writes are masked by the on-device gates."""
+        f, mf, v = self.frontend, self.filterx, self.video
+        g = f.graph
+        return dict(
+            edges=[list(e) for e in g.edges], free=list(g.free),
+            ii_inac=g.ii_inac.copy(), jj_inac=g.jj_inac.copy(),
+            inac_slots=g.inac_slots.copy(), inac_free=list(g.inac_free),
+            ii_bad=g.ii_bad.copy(), jj_bad=g.jj_bad.copy(),
+            t0=f.t0, t1=f.t1, count=f.count, probe_key=f._probe_key,
+            counter=v.counter, dirty=v.dirty.copy(),
+            img_slot=(v.counter, v.images[v.counter]
+                      if v.counter < len(v.images) else None),
+            mf_count=mf.count, mf_fmap=mf.fmap, mf_net=mf.net,
+            mf_inp=mf.inp, mf_pending=mf._pending,
+            mf_pending_distance=mf.pending_distance)
+
+    def _spec_restore(self, s):
+        f, mf, v = self.frontend, self.filterx, self.video
+        g = f.graph
+        g.edges = [list(e) for e in s["edges"]]
+        g.free = list(s["free"])
+        g.ii_inac = s["ii_inac"].copy()
+        g.jj_inac = s["jj_inac"].copy()
+        g.inac_slots = s["inac_slots"].copy()
+        g.inac_free = list(s["inac_free"])
+        g.ii_bad = s["ii_bad"].copy()
+        g.jj_bad = s["jj_bad"].copy()
+        f.t0, f.t1, f.count = s["t0"], s["t1"], s["count"]
+        f._probe_key = s["probe_key"]
+        v.counter = s["counter"]
+        v.dirty = s["dirty"].copy()
+        idx, old_img = s["img_slot"]
+        if idx < len(v.images):
+            v.images[idx] = old_img
+        mf.count = s["mf_count"]
+        mf.fmap, mf.net, mf.inp = s["mf_fmap"], s["mf_net"], s["mf_inp"]
+        mf.pending_distance = s["mf_pending_distance"]
+
+    def _track_fused_spec(self, tstamp, image, depth, intrinsics):
+        """Speculative steady-state frame: dispatch this frame's programs
+        BEFORE resolving the previous frame's readback, gated on-device by
+        the previous program's (still-on-device) decision vector. The host
+        then resolves the readback — which overlaps the device work it just
+        queued — and on a mis-speculation unwinds its bookkeeping (the
+        masked device writes never happened):
+          * previous frame rejected: unwind only; this frame's encode chose
+            the correct reference keyframe on-device, so the pipeline
+            continues without a redispatch;
+          * keyframe-removal triggered: unwind and re-run this frame through
+            the strict (legacy) path — rare.
+        Deviation from the strict path: proximity-proposal distances come
+        from the probe dispatched one frame earlier (probe_lead=2), i.e.
+        they are one update staler. DROID_SPEC_FRAME=0 restores strict
+        sequencing."""
+        f, mf, v = self.frontend, self.filterx, self.video
+        meta_prev = self._spec_meta
+        vec_prev = self._pending_vec
+
+        img = np.asarray(image)
+        if img.ndim == 3:
+            img = img[None]
+        image_dev = jax.device_put(img)
+
+        snap = self._spec_snapshot()
+
+        # ---- speculative application of the unresolved decisions --------
+        # assume the previous update's keyframe is KEPT (inf, not a large
+        # finite value: the keep test is `d < 2*keyframe_thresh` and a test
+        # config may set the threshold arbitrarily high — a finite stand-in
+        # would trigger a REAL device-buffer shift here that no unwind can
+        # undo)...
+        self.frontend.finalize(
+            kf_value=float("inf") if meta_prev["ran_upd"] else None)
+        # ...and the previous frame ADMITTED
+        self._pending_vec = None
+        wf = mf.track_finish(defer=True,
+                             resolved=(np.inf, np.zeros(0, np.float32)))
+
+        # proposal distances from the ring (probed one frame early with
+        # probe_lead=2); a miss falls back to an eager device distance
+        # (correct, slower — counted for diagnostics)
+        key = (v.counter, f.t1 + 1)
+        ring = getattr(self, "_dist_ring", None)
+        if ring is None:
+            ring = self._dist_ring = {}
+        if key in ring:
+            mf.pending_distance = ring[key]
+            f._probe_key = key
+        else:
+            f._probe_key = None
+            self._spec_dist_miss = getattr(self, "_spec_dist_miss", 0) + 1
+
+        f.probe_lead = 2
+        spec_mode = 1 | (2 if meta_prev["ran_upd"] else 0)
+        spec = self._spec_args(
+            prev_vec=vec_prev, spec_mode=spec_mode,
+            adm_thresh=mf.thresh,
+            keep_thresh=2.0 * f.keyframe_thresh)
+        self._fused_build_and_dispatch(tstamp, img, image_dev, depth,
+                                       intrinsics, wf, spec)
+
+        # ---- validate (overlaps the device work just queued) ------------
+        vec = np.asarray(vec_prev)
+        self._delta_log = getattr(self, "_delta_log", [])
+        self._delta_log.append(float(vec[1]))
+        if meta_prev["probe_key"] is not None:
+            ring[meta_prev["probe_key"]] = vec[2:2 + meta_prev["n_pairs"]]
+            while len(ring) > 4:
+                ring.pop(next(iter(ring)))
+
+        keep_ok = (not meta_prev["ran_upd"]) or \
+            float(vec[0]) >= 2.0 * f.keyframe_thresh
+        admit_ok = float(vec[1]) > mf.thresh
+
+        if keep_ok and admit_ok:
+            return  # speculation committed; bookkeeping already applied
+
+        self._spec_mis = getattr(self, "_spec_mis", 0) + 1
+        cur_meta = self._spec_meta
+        cur_vec = self._pending_vec
+        self._spec_restore(snap)
+
+        if keep_ok:
+            # previous frame was REJECTED: the device masked every write of
+            # the frame just dispatched; re-apply the reject bookkeeping and
+            # keep this frame's (correct) encode/admission stash
+            # (mf._pending already holds it — the restore doesn't touch it).
+            mf.count = snap["mf_count"] + 1
+            self._pending_vec = cur_vec
+            self._pending_ran_upd = False
+            self._spec_meta = dict(cur_meta, ran_upd=False)
+            return
+
+        # keyframe removal (rare): the dispatched frame was fully masked —
+        # resolve the readback strictly and re-dispatch this frame through
+        # the same fused path with forced-true gates (bit-identical to the
+        # strict pipeline's removal frame; costs one extra device pass).
+        mf._pending = snap["mf_pending"]
+        self._pending_vec = None
+        self._spec_meta = None
+        self.frontend.finalize(kf_value=float(vec[0]))
+        wf = mf.track_finish(defer=True,
+                             resolved=(float(vec[1]), vec[2:]))
+        self._fused_build_and_dispatch(tstamp, img, image_dev, depth,
+                                       intrinsics, wf, self._spec_args())
+
     def flush(self):
         """Drain the 1-frame pipeline (resolve the last frame's admission
         and run its frontend update)."""
+        self._spec_meta = None
         self._resolve_prev()
         self.frontend()
         self.frontend.finalize()
@@ -162,6 +368,8 @@ class Droid(TrackPipeline):
         self.config = config
         self.params = self._load_params(config.weights)
         self._fused_frame = self._fused_frame_default()
+        self._spec_frame = self._fused_frame and self._spec_frame_default()
+        self._spec_meta = None
 
         self.video = DepthVideo(config.image_size, config.buffer,
                                 stereo=config.stereo)

@@ -76,16 +76,23 @@ class DroidFrontend:
         self.motion_damping = getattr(args, "motion_damping", 0.0)
         self.motion_filter = None  # wired by the Droid facade
         self._probe_key = None
+        self.probe_lead = 1  # 2 under speculative dispatch (slam/droid.py)
 
     def proximity_pairs(self):
-        """Candidate pair list for the NEXT _update's proximity proposal —
-        computed speculatively in the motion filter's dispatch so the
-        distance matrix arrives with the admission test (one sync)."""
+        """Candidate pair list for a FUTURE _update's proximity proposal —
+        computed speculatively in the frame program so the distance matrix
+        arrives with the admission test (no extra sync). `probe_lead` is the
+        number of frames ahead the pairs target: 1 for the strict pipeline
+        (consumed by the next frame), 2 for the speculative pipeline (the
+        next frame dispatches before this probe resolves, so the pairs serve
+        the frame after; the newest two frames' poses are motion-model
+        extrapolations in the probe)."""
         if not self.is_initialized:
             self._probe_key = None
             return np.zeros(1, np.int64), np.zeros(1, np.int64), self.beta
-        t = self.video.counter + 1
-        t1n = self.t1 + 1
+        lead = self.probe_lead
+        t = self.video.counter + lead
+        t1n = self.t1 + lead
         ix = np.arange(t1n - 5, t)
         jx = np.arange(max(t1n - self.frontend_window, 0), t)
         ii, jj = np.meshgrid(ix, jx, indexing="ij")

@@ -79,6 +79,22 @@ def _unpack_packed_frame(packed_frame, ea, kb, nw, pb):
             ae_slots, up_dst, pair_ii, pair_jj)
 
 
+def _spec_gate(prev_vec, spec_mode, adm_thresh, keep_thresh):
+    """Speculation gates from the PREVIOUS frame program's readback vector
+    (still on device — no host round trip).
+
+    prev_vec[0] = kf_dist of the previous update; prev_vec[1] = admission
+    delta of the previous frame. spec_mode bits: 0 = gates forced TRUE
+    (tables were built from resolved decisions), 1 = admission gate live,
+    2 = keep gate live (set only when the previous frame ran an update).
+    Returns (g, g_admit): g gates every state write of this program."""
+    live_admit = (spec_mode & 1) > 0
+    live_keep = (spec_mode & 2) > 0
+    g_admit = jnp.where(live_admit, prev_vec[1] > adm_thresh, True)
+    g_keep = jnp.where(live_keep, prev_vec[0] >= keep_thresh, True)
+    return g_admit & g_keep, g_admit
+
+
 @partial(jax.jit,
          static_argnames=("wf_fields", "kb", "pb", "with_volumes", "nw",
                           "ea", "lookup_impl", "ba_shape"),
@@ -90,10 +106,28 @@ def frame_step_a(params, buf, nets_e, target, weight, pyramid, target_inac,
                  packed_frame, kb, pb, with_volumes,
                  packed, nw, ea, lookup_impl, ba_shape,
                  n_iters, kf_beta, do_next_state, motion_damping, beta,
-                 image):
+                 image, prev_vec, spec_mode, adm_thresh, keep_thresh,
+                 probe_lead):
     (wf_index, kf_index, mv_src, mv_dst, ae_ii, ae_jj, ae_c, ae_slots,
      _up_dst, pair_ii, pair_jj) = _unpack_packed_frame(
         packed_frame, ea, kb, nw, pb)
+
+    # speculative-dispatch gates (BENCH_NOTES round-3 sketch): when the host
+    # dispatched this program BEFORE resolving the previous frame's
+    # admission/keep decisions, every state write is masked by `g` so a
+    # mis-speculation leaves device state untouched (the host unwinds its
+    # numpy bookkeeping when the readback resolves)
+    g, g_admit = _spec_gate(prev_vec, spec_mode, adm_thresh, keep_thresh)
+    B = buf.poses.shape[0]
+    cap = nets_e.shape[0]
+    icap = target_inac.shape[0]
+    wf_index = jnp.where(g, wf_index, B + 1)
+    mv_dst = jnp.where(g, mv_dst, icap + 1)
+    ae_slots = jnp.where(g, ae_slots, cap + 1)
+    n_iters = jnp.where(g, n_iters, 0)
+    do_next_state = jnp.where(g, do_next_state, 0)
+    # on a rejected previous frame the last real keyframe is one earlier
+    kf_index = jnp.where(g_admit, kf_index, jnp.maximum(kf_index - 1, 0))
 
     buf = video_mod._write_frame_traced(buf, wf_index, wf_values, wf_fields)
 
@@ -109,11 +143,13 @@ def frame_step_a(params, buf, nets_e, target, weight, pyramid, target_inac,
         params, buf.poses, buf.disps, buf.disps_sens, buf.damping,
         buf.intrinsics, buf.inps, pyramid, nets_e, target, weight,
         target_inac, weight_inac, packed, nw, ea, lookup_impl, ba_shape,
-        1e-4, 0.1, n_iters, kf_beta)
+        1e-4, 0.1, n_iters, kf_beta, write_gate=g)
 
-    # proximity probe on the post-iters1 state, with the next keyframe's
-    # motion-model pose applied hypothetically (part B will write it for
-    # real after the conditional refinement)
+    # proximity probe on the post-iters1 state, with the next keyframes'
+    # motion-model poses applied hypothetically (part B will write the first
+    # for real after the conditional refinement). probe_lead=2 extrapolates
+    # a second frame ahead — the speculative pipeline consumes these
+    # distances one frame later than the strict path.
     (_plan, _s, _i, _j, _v, _in, _kf, _g0, ns_t1,
      _sf) = graph_mod._unpack_frame_tables(packed, ba_shape, ea)
     poses_s, disps_s = state[0], state[1]
@@ -124,6 +160,13 @@ def frame_step_a(params, buf, nets_e, target, weight, pyramid, target_inac,
         jnp.where(on, new_pose, poses_s[ns_t1]))
     disps_p = disps_s.at[ns_t1].set(
         jnp.where(on, new_disp, disps_s[ns_t1]))
+    on2 = on & (probe_lead > 1)
+    new_pose2, new_disp2 = graph_mod._next_state_pose_disp(
+        poses_p, disps_p, ns_t1 + 1, motion_damping)
+    poses_p = poses_p.at[ns_t1 + 1].set(
+        jnp.where(on2, new_pose2, poses_p[ns_t1 + 1]))
+    disps_p = disps_p.at[ns_t1 + 1].set(
+        jnp.where(on2, new_disp2, disps_p[ns_t1 + 1]))
     from ..geom import distance as gdist
     d = gdist.frame_distance(poses_p, disps_p, buf.intrinsics[0],
                              pair_ii, pair_jj, beta, bidirectional=True)
@@ -148,9 +191,16 @@ def frame_step_b(params, buf, pyramid, target_inac, weight_inac, state,
                  packed_frame, kb, pb,
                  packed, nw, ea, lookup_impl, ba_shape,
                  upsample, do_next_state, motion_damping, n_iters2,
-                 kf_thresh):
+                 kf_thresh, prev_vec, spec_mode, adm_thresh, keep_thresh):
     (_wf, _kf, _ms, _md, _ai, _aj, _ac, _as, up_dst, _pi,
      _pj) = _unpack_packed_frame(packed_frame, ea, kb, nw, pb)
+
+    # same speculation gates as part A: a mis-speculated frame must leave
+    # poses/disps/damping/edge state untouched
+    g, _ = _spec_gate(prev_vec, spec_mode, adm_thresh, keep_thresh)
+    n_iters2 = jnp.where(g, n_iters2, 0)
+    do_next_state = jnp.where(g, do_next_state, 0)
+    up_dst = jnp.where(g, up_dst, buf.disps_up.shape[0] + 1)
 
     (poses, disps, damping, nets_e, target, weight, _eta, _upmask,
      disps_up) = graph_mod._fused_update_part_b(

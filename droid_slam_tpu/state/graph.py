@@ -49,12 +49,20 @@ AE_BUCKET = 16  # sticky new-edge bucket of the single-dispatch frame path
 
 def _update_core_traced(params, poses, disps, intrinsics, inps_buf, pyramid,
                         nets_e, target, weight, slots, ii, jj, valid, g0,
-                        nw: int, lookup_impl: str = "gather"):
+                        nw: int, lookup_impl: str = "gather",
+                        slot_native: bool = False):
     """One GRU+heads iteration over the active edges (factor_graph.py:215-238).
 
     pyramid: tuple of [EB, HW, hl, wl] slot-addressed corr volumes.
     nets_e/target/weight: [EB,...] slot-addressed edge state.
     slots/ii/jj/valid: [EA] active-edge views.
+
+    With ``slot_native`` the caller guarantees EA == EB and that the edge
+    tables are indexed BY SLOT (slots == arange) — then every per-edge
+    gather/scatter (nets_e[slots], the coords scatter, the corr result
+    gather) is the identity and drops out of the program, saving ~100 MB of
+    HBM shuffling per iteration.
+
     Returns per-active-edge (net, target, weight, coords1) + per-window-frame
     (eta [nw,h,w], upmask [nw,h,w,576]).
     """
@@ -64,7 +72,8 @@ def _update_core_traced(params, poses, disps, intrinsics, inps_buf, pyramid,
 
     coords1, _, _ = pops.projective_transform(poses, disps, intrinsics, ii, jj)
     coords0 = pops.coords_grid(h, w)
-    resd = target[slots].reshape(EA, 2, hw).transpose(0, 2, 1).reshape(
+    tgt_e = target if slot_native else target[slots]
+    resd = tgt_e.reshape(EA, 2, hw).transpose(0, 2, 1).reshape(
         EA, h, w, 2) - coords1
     motn = jnp.concatenate([coords1 - coords0, resd], axis=-1)
     motn = jnp.clip(motn, -64.0, 64.0)
@@ -72,7 +81,8 @@ def _update_core_traced(params, poses, disps, intrinsics, inps_buf, pyramid,
     # correlation lookup with slot indirection. The volumes stay in SLOT
     # order (permuting them would copy ~1 GB of HBM per iteration); instead
     # the small coords tensor is scattered into slot order, the lookup runs
-    # slot-native, and the small result is gathered back into edge order.
+    # slot-native, and the small result is gathered back into edge order
+    # (both no-ops under slot_native).
     cflat = coords1.reshape(EA, hw, 2)
     if lookup_impl == "pallas":
         from ..ops import corr_pallas
@@ -81,20 +91,27 @@ def _update_core_traced(params, poses, disps, intrinsics, inps_buf, pyramid,
         corr = corr.reshape(EA, h, w, -1)
     else:
         EB = pyramid[0].shape[0]
-        wslots = jnp.where(valid, slots, EB + 1)  # drop invalid edges
-        c_slot = jnp.zeros((EB, hw, 2), cflat.dtype).at[wslots].set(cflat)
+        if slot_native:
+            c_slot = cflat
+        else:
+            wslots = jnp.where(valid, slots, EB + 1)  # drop invalid edges
+            c_slot = jnp.zeros((EB, hw, 2), cflat.dtype).at[wslots].set(cflat)
         outs = []
         for lvl, vol in enumerate(pyramid):
             outs.append(corr_ops._lookup_level_impl(
                 vol, c_slot / (2.0 ** lvl), corr_ops.RADIUS, lookup_impl))
-        corr = jnp.concatenate(outs, axis=-1)[slots].reshape(EA, h, w, -1)
+        corr = jnp.concatenate(outs, axis=-1)
+        if not slot_native:
+            corr = corr[slots]
+        corr = corr.reshape(EA, h, w, -1)
 
     cdt = jnp.bfloat16
     # padded edge slots must not contaminate the per-frame aggregation:
     # route them to a dump segment (nw) and drop it
     agg_ii = jnp.where(valid, jnp.clip(ii - g0, 0, nw - 1), nw)
+    net_e = nets_e if slot_native else nets_e[slots]
     net, delta, weight_new, eta, upmask = nets.update_module(
-        params, nets_e[slots].astype(cdt), inps_buf[ii].astype(cdt),
+        params, net_e.astype(cdt), inps_buf[ii].astype(cdt),
         corr.astype(cdt), motn.astype(cdt), ii=agg_ii, num_frames=nw + 1)
     eta = eta[:nw]
     upmask = upmask[:nw]
@@ -154,7 +171,8 @@ def _unpack_frame_tables(packed, ba_shape, ea):
 
 def _make_iteration(params, disps_sens, intrinsics, inps_buf, pyramid,
                     target_inac_buf, weight_inac_buf, plan, slots, ii, jj,
-                    valid, inac_slots, g0, nw, lookup_impl, ba_shape, lm, ep):
+                    valid, inac_slots, g0, nw, lookup_impl, ba_shape, lm, ep,
+                    slot_native: bool = False):
     """One (GRU update + DBA) iteration as a state->state closure
     (factor_graph.py:215-263 semantics)."""
     win = g0 + jnp.arange(nw)
@@ -167,14 +185,23 @@ def _make_iteration(params, disps_sens, intrinsics, inps_buf, pyramid,
         hw = h * w
         net_e, tgt_e, wgt_e, eta, upmask, _ = _update_core_traced(
             params, poses, disps, intrinsics, inps_buf, pyramid, nets_e,
-            target, weight, slots, ii, jj, valid, g0, nw, lookup_impl)
+            target, weight, slots, ii, jj, valid, g0, nw, lookup_impl,
+            slot_native)
 
-        # scatter edge state back to the slot buffers (invalid slots dropped)
-        cap = nets_e.shape[0]
-        wslots = jnp.where(valid, slots, cap + 1)
-        nets_e = nets_e.at[wslots].set(net_e.astype(nets_e.dtype))
-        target = target.at[wslots].set(tgt_e)
-        weight = weight.at[wslots].set(wgt_e)
+        if slot_native:
+            # tables are slot-ordered: masked in-place select, no scatter
+            vm1 = valid[:, None, None, None]
+            nets_e = jnp.where(vm1, net_e.astype(nets_e.dtype), nets_e)
+            vm2 = valid[:, None, None]
+            target = jnp.where(vm2, tgt_e, target)
+            weight = jnp.where(vm2, wgt_e, weight)
+        else:
+            # scatter edge state back to the slot buffers (invalid dropped)
+            cap = nets_e.shape[0]
+            wslots = jnp.where(valid, slots, cap + 1)
+            nets_e = nets_e.at[wslots].set(net_e.astype(nets_e.dtype))
+            target = target.at[wslots].set(tgt_e)
+            weight = weight.at[wslots].set(wgt_e)
 
         # per-frame damping for frames present in ii (factor_graph.py:238)
         agg_ii = jnp.clip(ii - g0, 0, nw - 1)
@@ -184,8 +211,10 @@ def _make_iteration(params, disps_sens, intrinsics, inps_buf, pyramid,
             jnp.where(present[:, None, None], eta, damping[win]))
 
         # dense bundle adjustment over inactive + active edges
-        tgt_ba = jnp.concatenate([tgt_inac, target[slots]], axis=0)
-        wgt_ba = jnp.concatenate([wgt_inac, weight[slots]], axis=0)
+        tgt_act = target if slot_native else target[slots]
+        wgt_act = weight if slot_native else weight[slots]
+        tgt_ba = jnp.concatenate([tgt_inac, tgt_act], axis=0)
+        wgt_ba = jnp.concatenate([wgt_inac, wgt_act], axis=0)
         pad = ba_shape.edges - tgt_ba.shape[0]
         if pad > 0:
             tgt_ba = jnp.concatenate(
@@ -215,16 +244,19 @@ def _fused_update_part_a(params, poses, disps, disps_sens, damping,
                          intrinsics, inps_buf, pyramid, nets_e, target,
                          weight, target_inac_buf, weight_inac_buf, packed,
                          nw: int, ea: int, lookup_impl: str, ba_shape,
-                         lm, ep, n_iters, kf_beta):
+                         lm, ep, n_iters, kf_beta, write_gate=None):
     """iters1 half of the fused update: RGB-D sensor overwrite, n_iters x
     (GRU+DBA), and the keyframe-distance probe (which the reference computes
     after iters1, droid_frontend.py:90-98). Returns the iteration-carry
     state + kf_dist so part B (conditional refinement + motion model) can
     run in a separate dispatch whose device time hides the probe's host
-    copy latency."""
+    copy latency. `write_gate` (speculative dispatch) masks the sensor
+    overwrite; the iterations are masked by the caller via n_iters."""
     tabs = _unpack_frame_tables(packed, ba_shape, ea)
     (plan, slots, ii, jj, valid, inac_slots, kf_pair, g0, ns_t1,
      sens_frame) = tabs
+    if write_gate is not None:
+        sens_frame = jnp.where(write_gate, sens_frame, -1)
 
     # RGB-D: overwrite disparity where the sensor is valid, fused into this
     # dispatch (droid_frontend.py:84-88; sens_frame < 0 skips)
@@ -236,7 +268,7 @@ def _fused_update_part_a(params, poses, disps, disps_sens, damping,
     iteration = _make_iteration(
         params, disps_sens, intrinsics, inps_buf, pyramid, target_inac_buf,
         weight_inac_buf, plan, slots, ii, jj, valid, inac_slots, g0, nw,
-        lookup_impl, ba_shape, lm, ep)
+        lookup_impl, ba_shape, lm, ep, slot_native=True)
 
     h8, w8 = disps.shape[-2:]
     state = (poses, disps, damping, nets_e, target, weight,
@@ -266,7 +298,7 @@ def _fused_update_part_b(state, kf_dist, params, disps_sens, intrinsics,
     iteration = _make_iteration(
         params, disps_sens, intrinsics, inps_buf, pyramid, target_inac_buf,
         weight_inac_buf, plan, slots, ii, jj, valid, inac_slots, g0, nw,
-        lookup_impl, ba_shape, lm, ep)
+        lookup_impl, ba_shape, lm, ep, slot_native=True)
 
     keep_kf = kf_dist >= 2.0 * kf_thresh
     state = jax.lax.cond(
@@ -883,7 +915,6 @@ class FactorGraph:
         keys for one fused update dispatch (shared by the standalone path
         and the single-dispatch frame program)."""
         ii, jj = self.ii, self.jj
-        slots = self._slots()
         # EA == slot capacity: a FIXED bucket so the fused program's compile
         # key stays stable frame-to-frame
         EA = self.capacity
@@ -894,16 +925,23 @@ class FactorGraph:
             t1 = int(max(ii.max(), jj.max())) + 1
 
         g0 = int(min(ii.min(), jj.min(), t0 - 1))
+
+        # SLOT-ORDERED active tables: row s describes the edge living in
+        # slot s (valid_s marks occupied slots). The update core then runs
+        # slot-native — nets_e[slots] gathers, result scatters and the corr
+        # coords shuffle all become identities and vanish from the program.
+        ii_s = np.zeros(EA, np.int64)
+        jj_s = np.zeros(EA, np.int64)
+        valid_s = np.zeros(EA, np.int64)
+        for s, i, j, _age in self.edges:
+            ii_s[s] = i
+            jj_s[s] = j
+            valid_s[s] = 1
         # pinned window bucket: grows monotonically, never shrinks, so the
         # fused program's compile key stays put as the video extends
         self.window_bucket = max(self.window_bucket,
                                  _bucket(t1 - g0, WINDOW_BUCKETS))
         nw = self.window_bucket
-
-        def pad_idx(x, fill):
-            out = np.full(EA, fill, np.int64)
-            out[:len(x)] = x
-            return out
 
         # BA edge set: inactive edges padded to a FIXED bucket, then the
         # padded active bucket (fg.py:240-248); the plan is built for this
@@ -923,15 +961,17 @@ class FactorGraph:
         in_slots_p = np.zeros(IB, np.int64)
         in_slots_p[:len(in_slots)] = in_slots
 
+        # active rows in SLOT order so plan row IB+s aligns with the
+        # slot-native device arrays
         ii_full = np.concatenate(
-            [ii_inac, np.full(IB - len(ii_inac), t0), ii,
-             np.full(EA - len(ii), t0)])
+            [ii_inac, np.full(IB - len(ii_inac), t0),
+             np.where(valid_s > 0, ii_s, t0)])
         jj_full = np.concatenate(
-            [jj_inac, np.full(IB - len(jj_inac), t0), jj,
-             np.full(EA - len(jj), t0)])
+            [jj_inac, np.full(IB - len(jj_inac), t0),
+             np.where(valid_s > 0, jj_s, t0)])
         valid_full = np.concatenate(
             [np.ones(len(ii_inac), bool), np.zeros(IB - len(ii_inac), bool),
-             np.ones(len(ii), bool), np.zeros(EA - len(ii), bool)])
+             valid_s > 0])
         ba_shape, ba_plan = ba_inference.build_plan(
             ii_full, jj_full, t0, t1, iters=itrs, motion_only=motion_only,
             valid=valid_full, edges=IB + EA, rmax=self.rmax,
@@ -944,8 +984,8 @@ class FactorGraph:
             ba_plan.ii, ba_plan.jj, ba_plan.edge_valid, ba_plan.k_valid,
             ba_plan.row_pose, ba_plan.row_depth, ba_plan.rk_idx,
             [int(ba_plan.g0)], [int(ba_plan.t0)], [int(ba_plan.t1)],
-            pad_idx(slots, 0), pad_idx(ii, 0), pad_idx(jj, 0),
-            (np.arange(EA) < len(ii)).astype(np.int32), in_slots_p,
+            np.arange(EA), ii_s, jj_s,
+            valid_s.astype(np.int32), in_slots_p,
             np.asarray(kf, np.int32), [g0],
             [0 if next_state_t1 is None else int(next_state_t1)],
             [-1 if sens_frame is None else int(sens_frame)])
