@@ -52,6 +52,12 @@ def main():
     parser.add_argument("--edges", type=int, default=24)
     parser.add_argument("--restart_prob", type=float, default=0.2)
     parser.add_argument("--devices", type=int, default=None)
+    parser.add_argument("--synthetic_clips", type=int, default=64,
+                        help="clip-bank size for --datasets synthetic")
+    parser.add_argument("--image_size", type=int, nargs=2,
+                        default=[384, 512],
+                        help="clip resolution for --datasets synthetic")
+    parser.add_argument("--ckpt_every", type=int, default=10000)
     args = parser.parse_args()
 
     import jax
@@ -78,8 +84,16 @@ def main():
     params = replicate(mesh, params)
     opt_state = replicate(mesh, opt_state)
 
-    db = TartanAir(datapath=args.datapath, n_frames=args.n_frames,
-                   fmin=args.fmin, fmax=args.fmax)
+    if "synthetic" in args.datasets:
+        # procedural exact-geometry scenes (no dataset download needed);
+        # see droid_slam_tpu/data/synthetic.py
+        from droid_slam_tpu.data.synthetic import SyntheticBox
+        db = SyntheticBox(n_clips=args.synthetic_clips,
+                          n_frames=args.n_frames,
+                          image_size=tuple(args.image_size))
+    else:
+        db = TartanAir(datapath=args.datapath, n_frames=args.n_frames,
+                       fmin=args.fmin, fmax=args.fmax)
     rng = np.random.default_rng(12345)
     logger = Logger(args.name)
     os.makedirs("checkpoints", exist_ok=True)
@@ -111,7 +125,7 @@ def main():
         logger.push({k: float(v) for k, v in metrics.items()})
         total_steps += 1
 
-        if total_steps % 10000 == 0:
+        if total_steps % args.ckpt_every == 0:
             weights_io.save_npz(f"checkpoints/{args.name}_{total_steps:06d}"
                                 ".npz", jax.device_get(params))
 
