@@ -32,10 +32,17 @@ def solve_psd(H: jnp.ndarray, b: jnp.ndarray, refine_steps: int = 1) -> jnp.ndar
     fp32 Cholesky with `refine_steps` rounds of iterative refinement; returns
     zeros when the factorization fails (reference parity).
     """
-    L = jsl.cholesky(H, lower=True)
-    ok = jnp.all(jnp.isfinite(L), axis=(-2, -1), keepdims=True)
-    L_safe = jnp.where(ok, L, jnp.broadcast_to(jnp.eye(H.shape[-1], dtype=H.dtype),
-                                               H.shape))
+    eye = jnp.broadcast_to(jnp.eye(H.shape[-1], dtype=H.dtype), H.shape)
+    # Probe the factorization OUTSIDE the gradient graph: XLA's potrf emits
+    # NaNs for indefinite input, and a NaN *primal* poisons cholesky's VJP
+    # even when the forward value is masked away (0 * NaN = NaN) — the
+    # training step's gradients would silently turn NaN the first time one
+    # GN system goes indefinite. Re-factorize a sanitized matrix for the
+    # differentiable path instead (potrf here is tiny next to the Schur
+    # products, so the second factorization is noise).
+    L_probe = jsl.cholesky(jax.lax.stop_gradient(H), lower=True)
+    ok = jnp.all(jnp.isfinite(L_probe), axis=(-2, -1), keepdims=True)
+    L_safe = jsl.cholesky(jnp.where(ok, H, eye), lower=True)
 
     def chosolve(rhs):
         return jsl.cho_solve((L_safe, True), rhs[..., None])[..., 0]

@@ -2,8 +2,8 @@
 shard_map over a JAX device mesh (replaces /root/reference/train.py:28-142;
 NCCL all-reduce becomes a psum over ICI).
 
-One step: unrolled DroidNet forward (models/droidnet.py) on each device's
-batch shard -> w1*geodesic + w2*residual + w3*flow -> grads psum-averaged ->
+One step: scanned DroidNet forward with in-scan loss accumulation (see
+sample_loss) on each device's batch shard -> w1*geodesic + w2*residual + w3*flow -> grads psum-averaged ->
 global-norm clip 2.5 -> Adam + OneCycle schedule (train.py:68-71,125-127).
 """
 
@@ -20,8 +20,11 @@ import optax
 from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
+from ..ba import dense
+from ..geom import projective as pops
 from ..lie import se3
-from ..models import droidnet, nets
+from ..models import nets
+from ..ops import corr as corr_ops
 from . import losses
 
 
@@ -66,25 +69,106 @@ def default_init(Ps, disps_gt):
 
 
 def sample_loss(params, images, Ps, disps_gt, intrinsics, Gs0, disps0,
-                ii, jj, cfg, num_steps):
+                ii, jj, cfg, num_steps, gamma=0.9,
+                compute_dtype=jnp.bfloat16):
     """One training sample (train.py:80-114). Ps are w2c GT poses [N,7];
     images [N,H,W,3] uint8; disps_gt [N,H,W] full-res inverse depth.
     Gs0/disps0 are the unroll initialization (GT-anchored on the first pass,
-    the detached last estimate on random restarts, train.py:115-117)."""
+    the detached last estimate on random restarts, train.py:115-117).
+
+    The iteration loop is a `lax.scan` with per-step loss accumulation and
+    per-step rematerialization, NOT a Python unroll: the reference's
+    unrolled graph (droid_net.py:172-222 + geom/losses.py history lists)
+    would compile a ~15x larger XLA program and keep every iteration's
+    activations live through the backward pass. Same math as
+    `droidnet.forward` + the list-based losses (pinned by
+    tests/test_train_step.py::test_sample_loss_matches_unrolled)."""
     intr8 = intrinsics / 8.0
+    N = images.shape[0]
+    E = ii.shape[0]
+    h, w = disps0.shape[-2:]
+    hw = h * w
+    cdt = compute_dtype
 
-    Gs_list, disp_list, residual_list = droidnet.forward(
-        params, images, Gs0, disps0, intr8, ii, jj, num_steps=num_steps,
-        fixedp=2)
+    fmaps, net_f, inp_f = nets.extract_features(params, images,
+                                                compute_dtype=cdt)
+    net0 = net_f[ii]
+    inp = inp_f[ii]
+    pyramid = corr_ops.build_pyramid(fmaps[ii].astype(jnp.float32),
+                                     fmaps[jj].astype(jnp.float32))
+    coords0 = pops.coords_grid(h, w)
+    coords1, _, _ = pops.projective_transform(Gs0, disps0, intr8, ii, jj)
 
-    geo, geo_m = losses.geodesic_loss(Ps, Gs_list, ii, jj, do_scale=False)
-    res, res_m = losses.residual_loss(residual_list)
-    flo, flo_m = losses.flow_loss(Ps, disps_gt, Gs_list, disp_list,
-                                  intrinsics)
+    # loss-side constants, hoisted out of the scan
+    dP = se3.mul(Ps[jj], se3.inv(Ps[ii]))
+    ii_adj, jj_adj = losses.adjacent_pairs(N)
+    f_coords0, f_val0 = losses.flow_gt(Ps, disps_gt, intrinsics,
+                                       ii_adj, jj_adj)
+
+    def body(carry, wgt):
+        net, Gs, disps, coords1, target, _ = carry
+        # per-iteration detach (train-time semantics: gradients flow from
+        # each iteration's own outputs only, droid_net.py:181-184)
+        Gs = jax.lax.stop_gradient(Gs)
+        disps = jax.lax.stop_gradient(disps)
+        coords1 = jax.lax.stop_gradient(coords1)
+        target = jax.lax.stop_gradient(target)
+
+        corr = corr_ops.lookup_pyramid(pyramid, coords1)
+        motn = jnp.concatenate([coords1 - coords0, target - coords1],
+                               axis=-1)
+        motn = jnp.clip(motn, -64.0, 64.0)
+        net, delta, weight, eta, upmask = nets.update_module(
+            params, net, inp, corr.astype(cdt), motn.astype(cdt),
+            ii=ii, num_frames=N)
+        target = coords1 + delta.astype(jnp.float32)
+
+        tgt_ba = target.reshape(E, hw, 2).transpose(0, 2, 1)
+        wgt_ba = weight.astype(jnp.float32).reshape(E, hw, 2).transpose(
+            0, 2, 1)
+        for _ in range(2):
+            Gs, disps = dense._ba_single(
+                tgt_ba, wgt_ba, eta.reshape(N, hw), Gs, disps, intr8,
+                ii, jj, edge_valid=jnp.ones((E,), bool), fixedp=2,
+                ep=0.1, lm=1e-4)
+        coords1, valid, _ = pops.projective_transform(Gs, disps, intr8,
+                                                      ii, jj)
+        resid = valid * (target - coords1)
+        disp_up = nets.upsample_disp(disps, upmask)
+
+        geo_i = losses.geodesic_step(dP, Gs, ii, jj, do_scale=False)
+        res_i = jnp.mean(jnp.abs(resid))
+        flo_i, _, _ = losses.flow_step(f_coords0, f_val0, Gs, disp_up,
+                                       intrinsics, ii_adj, jj_adj)
+        carry = (net, Gs, disps, coords1, target, disp_up)
+        return carry, (wgt * geo_i, wgt * res_i, wgt * flo_i)
+
+    ws = gamma ** (num_steps - 1.0 - jnp.arange(num_steps,
+                                                dtype=jnp.float32))
+    disp_up0 = jnp.zeros_like(disps_gt)
+    carry0 = (net0, Gs0, disps0, coords1, coords1, disp_up0)
+    carry, (geo_t, res_t, flo_t) = jax.lax.scan(
+        jax.checkpoint(body), carry0, ws)
+    _, Gs_f, _, _, _, disp_up_f = carry
+
+    geo = jnp.sum(geo_t)
+    res = jnp.sum(res_t)
+    flo = jnp.sum(flo_t)
     loss = cfg.w1 * geo + cfg.w2 * res + cfg.w3 * flo
-    metrics = {**geo_m, **res_m, **flo_m, "loss": loss}
-    final = (jax.lax.stop_gradient(Gs_list[-1]),
-             jax.lax.stop_gradient(disp_list[-1][:, 3::8, 3::8]))
+    # final-iterate flow metrics recomputed once post-scan (cheaper than
+    # scanning a full-res epe stack out just to keep its last slice)
+    _, epe_f, v_f = losses.flow_step(f_coords0, f_val0,
+                                     jax.lax.stop_gradient(Gs_f),
+                                     jax.lax.stop_gradient(disp_up_f),
+                                     intrinsics, ii_adj, jj_adj)
+    metrics = {
+        **losses.geodesic_metrics(dP, Gs_f, ii, jj, do_scale=False),
+        "residual": res,
+        **losses.flow_metrics(epe_f, v_f),
+        "loss": loss,
+    }
+    final = (jax.lax.stop_gradient(Gs_f),
+             jax.lax.stop_gradient(disp_up_f[:, 3::8, 3::8]))
     return loss, (metrics, final)
 
 

@@ -165,3 +165,30 @@ def test_padded_edges_are_inert(rng):
                                  ii_p, jj_p, edge_valid=ev, fixedp=2)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+
+def test_solve_psd_grad_finite_on_indefinite():
+    """An indefinite system must yield a ZERO step with FINITE gradients:
+    XLA's potrf emits NaN primals for indefinite input, and a NaN primal
+    poisons cholesky's VJP even when the forward value is masked away
+    (0 * NaN) — this silently NaN'd the whole training step the first time
+    one GN system went indefinite (ba/solver.py probe/refactorize guard)."""
+    import jax
+    import jax.numpy as jnp
+    from droid_slam_tpu.ba.solver import solve_psd
+
+    H_bad = -jnp.eye(4, dtype=jnp.float32)          # indefinite
+    H_ok = 2.0 * jnp.eye(4, dtype=jnp.float32)      # SPD
+    b = jnp.ones(4, jnp.float32)
+
+    x_bad = solve_psd(H_bad, b)
+    assert np.allclose(np.asarray(x_bad), 0.0)      # reference zero-step
+
+    for H in (H_bad, H_ok):
+        gH = jax.grad(lambda M: jnp.sum(solve_psd(M, b) ** 2))(H)
+        gb = jax.grad(lambda v: jnp.sum(solve_psd(H, v) ** 2))(b)
+        assert np.isfinite(np.asarray(gH)).all()
+        assert np.isfinite(np.asarray(gb)).all()
+
+    # SPD path still solves correctly
+    np.testing.assert_allclose(np.asarray(solve_psd(H_ok, b)), 0.5, atol=1e-6)
