@@ -102,11 +102,19 @@ def flow_gt(Ps, disps, intrinsics, ii, jj):
 
 def flow_step(coords0, val0, Gs, disp_est, intrinsics, ii, jj):
     """Unweighted flow-EPE term of ONE iterate; also returns (epe, v) so the
-    final iterate's metrics can be formed without recomputation."""
+    final iterate's metrics can be formed without recomputation.
+
+    The EPE norm is computed with a masked-safe sqrt: `norm(x)` has a NaN
+    gradient at exactly x = 0, and the reference's `v * norm(...)` masking
+    (losses.py:108-110) turns that into 0 * NaN = NaN in reverse mode.
+    Values are identical; only the (undefined) gradient at the zero point
+    becomes 0."""
     coords1, val1, _ = pops.projective_transform(
         Gs, disp_est, intrinsics, ii, jj)
     v = (val0 * val1)[..., 0]
-    epe = v * jnp.linalg.norm(coords1 - coords0, axis=-1)
+    diff = coords1 - coords0
+    sq = jnp.sum(diff * diff, axis=-1)
+    epe = jnp.where(sq > 0, v * jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
     return jnp.mean(epe), epe, v
 
 

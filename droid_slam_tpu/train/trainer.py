@@ -46,12 +46,36 @@ class TrainConfig:
     fmax: float = 96.0
 
 
+def _zero_nonfinite():
+    """Zero non-finite gradient entries (NaN AND inf) before the global-norm
+    clip — the same philosophy as the reference's GradClip backward, which
+    zeroes NaN gradients mid-backprop (modules/clipping.py:13-17), applied at
+    the optimizer boundary. A NaN/inf that slips past the per-head clips
+    (e.g. through an unclipped path on low-precision hardware) skews one
+    step instead of permanently destroying the parameters; an inf surviving
+    into `clip_by_global_norm` would itself mint NaNs (inf * 0). The
+    `grad_nanfrac` train metric keeps this observable."""
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        updates = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)),
+            updates)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: TrainConfig):
     schedule = optax.linear_onecycle_schedule(
         transition_steps=cfg.steps, peak_value=cfg.lr,
         pct_start=cfg.pct_start, pct_final=1.0, div_factor=25.0,
         final_div_factor=1e4)
     return optax.chain(
+        _zero_nonfinite(),
         optax.clip_by_global_norm(cfg.clip),
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(),
@@ -222,6 +246,10 @@ def make_train_step(mesh, cfg: TrainConfig, num_steps: Optional[int] = None,
         _, _, grads, metrics, _, _ = jax.lax.while_loop(cond, body, carry)
 
         grads = jax.lax.pmean(grads, axis)
+        leaves = jax.tree.leaves(grads)
+        n_bad = sum(jnp.sum(~jnp.isfinite(g)) for g in leaves)
+        n_tot = sum(g.size for g in leaves)
+        metrics["grad_nanfrac"] = n_bad.astype(jnp.float32) / n_tot
         metrics = jax.lax.pmean(metrics, axis)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

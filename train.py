@@ -8,6 +8,7 @@ with psum-averaged gradients over the 'dp' mesh axis.
 import argparse
 import os
 import pickle
+import time
 
 import numpy as np
 
@@ -58,6 +59,9 @@ def main():
                         default=[384, 512],
                         help="clip resolution for --datasets synthetic")
     parser.add_argument("--ckpt_every", type=int, default=10000)
+    parser.add_argument("--log_every", type=int, default=25,
+                        help="per-step progress print interval (the Logger's "
+                             "running means print every 100 regardless)")
     args = parser.parse_args()
 
     import jax
@@ -121,9 +125,17 @@ def main():
         sb["jj"] = replicate(mesh, batch["jj"])
 
         key = jax.random.PRNGKey(total_steps)
+        t0 = time.perf_counter()
         params, opt_state, metrics = step_fn(params, opt_state, sb, key)
-        logger.push({k: float(v) for k, v in metrics.items()})
+        host_metrics = {k: float(v) for k, v in metrics.items()}
+        logger.push(host_metrics)
         total_steps += 1
+        if total_steps <= 5 or total_steps % args.log_every == 0:
+            print(f"step {total_steps:6d}  loss {host_metrics['loss']:.4f}  "
+                  f"rot {host_metrics['rot_error']:.3f}  "
+                  f"f_err {host_metrics['f_error']:.3f}  "
+                  f"nanfrac {host_metrics.get('grad_nanfrac', 0.0):.4f}  "
+                  f"{time.perf_counter() - t0:.2f}s", flush=True)
 
         if total_steps % args.ckpt_every == 0:
             weights_io.save_npz(f"checkpoints/{args.name}_{total_steps:06d}"
