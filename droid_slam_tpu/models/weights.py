@@ -47,4 +47,41 @@ def load_npz(path: str, dtype=jnp.float32) -> dict:
 def load(path: str, dtype=jnp.float32) -> dict:
     if path.endswith(".npz"):
         return load_npz(path, dtype)
+    if path.endswith(".pkl"):
+        return load_train_state(path)[0]
     return load_torch_checkpoint(path, dtype)
+
+
+def save_train_state(path: str, params, opt_state, step: int) -> None:
+    """Full resumable training state (params + optimizer pytree + step).
+
+    Written atomically (tmp + rename) so a crash mid-write — e.g. the
+    training process dying on a lost TPU tunnel — never corrupts the last
+    good checkpoint."""
+    import os
+    import pickle
+
+    import jax
+
+    payload = {
+        "params": {k: np.asarray(v) for k, v in params.items()},
+        "opt_state": jax.tree.map(np.asarray, opt_state),
+        "step": int(step),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
+def load_train_state(path: str):
+    """Returns (params, opt_state, step) saved by `save_train_state`."""
+    import pickle
+
+    import jax
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    params = {k: jnp.asarray(v) for k, v in payload["params"].items()}
+    opt_state = jax.tree.map(jnp.asarray, payload["opt_state"])
+    return params, opt_state, payload["step"]

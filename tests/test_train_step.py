@@ -46,6 +46,39 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(Gs)).all()
 
 
+def test_flow_step_grad_finite_at_zero_diff():
+    """Estimate == GT makes every flow difference EXACTLY zero; the
+    reference-style `v * norm(diff)` masking then backprops 0 * NaN (norm
+    has an undefined gradient at 0). On TPU the bf16 matmul passes quantize
+    est/GT coordinates to equal values over large regions, so this is the
+    live failure mode that NaN'd training step 1 — the masked-safe sqrt in
+    flow_step must give finite (zero) gradients here."""
+    import jax
+    import jax.numpy as jnp
+    from droid_slam_tpu.lie import se3
+    from droid_slam_tpu.train import losses
+
+    rng = np.random.default_rng(3)
+    N, H, W = 4, 32, 48
+    q = rng.normal(size=(N, 4)); q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    Ps = jnp.asarray(np.concatenate(
+        [0.1 * rng.normal(size=(N, 3)), q], -1), jnp.float32)
+    disps = jnp.asarray(rng.uniform(0.5, 2.0, size=(N, H, W)), jnp.float32)
+    intr = jnp.asarray(
+        np.broadcast_to([30.0, 30.0, W / 2, H / 2], (N, 4)), jnp.float32)
+    ii, jj = losses.adjacent_pairs(N)
+    coords0, val0 = losses.flow_gt(Ps, disps, intr, ii, jj)
+
+    def loss(Gs, d):
+        t, _, _ = losses.flow_step(coords0, val0, Gs, d, intr, ii, jj)
+        return t
+
+    v, (gG, gd) = jax.value_and_grad(loss, argnums=(0, 1))(Ps, disps)
+    assert float(v) == 0.0
+    assert np.isfinite(np.asarray(gG)).all()
+    assert np.isfinite(np.asarray(gd)).all()
+
+
 @pytest.mark.slow
 def test_sample_loss_matches_unrolled():
     """The scan-based sample_loss must reproduce the unrolled reference

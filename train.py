@@ -59,6 +59,11 @@ def main():
                         default=[384, 512],
                         help="clip resolution for --datasets synthetic")
     parser.add_argument("--ckpt_every", type=int, default=10000)
+    parser.add_argument("--resume",
+                        help="full train-state .pkl to resume from "
+                             "(params + optimizer + step)")
+    parser.add_argument("--state_every", type=int, default=250,
+                        help="resumable train-state checkpoint interval")
     parser.add_argument("--log_every", type=int, default=25,
                         help="per-step progress print interval (the Logger's "
                              "running means print every 100 regardless)")
@@ -82,8 +87,14 @@ def main():
                       fmax=args.fmax)
 
     mesh = data_parallel_mesh(args.devices)
-    params = weights_io.load(args.ckpt) if args.ckpt else None
-    params, opt_state = init_train_state(cfg, params=params)
+    start_step = 0
+    if args.resume and os.path.exists(args.resume):
+        params, opt_state, start_step = weights_io.load_train_state(
+            args.resume)
+        print(f"resumed {args.resume} at step {start_step}", flush=True)
+    else:
+        params = weights_io.load(args.ckpt) if args.ckpt else None
+        params, opt_state = init_train_state(cfg, params=params)
     step_fn, _ = make_train_step(mesh, cfg)
     params = replicate(mesh, params)
     opt_state = replicate(mesh, opt_state)
@@ -102,8 +113,13 @@ def main():
     logger = Logger(args.name)
     os.makedirs("checkpoints", exist_ok=True)
 
+    def save_state(tag):
+        weights_io.save_train_state(
+            f"checkpoints/{args.name}_state_{tag}.pkl",
+            jax.device_get(params), jax.device_get(opt_state), total_steps)
+
     N = args.n_frames
-    total_steps = 0
+    total_steps = start_step
     while total_steps < args.steps:
         idx = rng.integers(0, len(db), size=args.batch)
         samples = [db[int(i)] for i in idx]
@@ -126,8 +142,18 @@ def main():
 
         key = jax.random.PRNGKey(total_steps)
         t0 = time.perf_counter()
-        params, opt_state, metrics = step_fn(params, opt_state, sb, key)
-        host_metrics = {k: float(v) for k, v in metrics.items()}
+        try:
+            params, opt_state, metrics = step_fn(params, opt_state, sb, key)
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+        except Exception:
+            # device/tunnel failure mid-run: persist a resumable state
+            # before dying so hours of training survive the crash
+            try:
+                save_state("crash")
+                print(f"saved crash state at step {total_steps}", flush=True)
+            except Exception:
+                pass
+            raise
         logger.push(host_metrics)
         total_steps += 1
         if total_steps <= 5 or total_steps % args.log_every == 0:
@@ -140,9 +166,12 @@ def main():
         if total_steps % args.ckpt_every == 0:
             weights_io.save_npz(f"checkpoints/{args.name}_{total_steps:06d}"
                                 ".npz", jax.device_get(params))
+        if total_steps % args.state_every == 0:
+            save_state("latest")
 
     weights_io.save_npz(f"checkpoints/{args.name}_final.npz",
                         jax.device_get(params))
+    save_state("final")
 
 
 if __name__ == "__main__":
