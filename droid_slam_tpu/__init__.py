@@ -21,3 +21,26 @@ Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def _honor_cpu_platform_request():
+    """If the environment asks for the CPU platform, enforce it through
+    jax.config as well: the deployment's tunneled-TPU plugin ignores
+    JAX_PLATFORMS, and merely initializing that backend (which happens on
+    the first jax.devices()/compute even when env vars request CPU) hangs
+    indefinitely while the tunnel is unreachable. Harmless when jax is
+    already initialized or no CPU request is present."""
+    import os
+
+    if "cpu" not in (os.environ.get("JAX_PLATFORM_NAME", ""),
+                     os.environ.get("JAX_PLATFORMS", "")):
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
+_honor_cpu_platform_request()
