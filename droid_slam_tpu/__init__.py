@@ -43,4 +43,29 @@ def _honor_cpu_platform_request():
         pass
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (opt-out via JAX_NO_COMPILE_CACHE=1).
+
+    On the tunneled-TPU deployment a single compile costs 15 s - 5 min of
+    remote AOT; caching executables on disk lets train/eval/bench processes
+    reuse each other's compiles. Defaults to a repo-local directory;
+    JAX_COMPILATION_CACHE_DIR overrides."""
+    import os
+
+    if os.environ.get("JAX_NO_COMPILE_CACHE"):
+        return
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 _honor_cpu_platform_request()
+_enable_compilation_cache()

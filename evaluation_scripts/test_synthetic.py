@@ -26,10 +26,10 @@ from droid_slam_tpu.eval.ate import evaluate_ate
 from droid_slam_tpu.slam import Droid
 
 
-def run(args, seed):
+def run(args, seed, weights=None):
     import dataclasses
     cfg = dataclasses.replace(
-        PRESETS["tartanair"], weights=args.weights,
+        PRESETS["tartanair"], weights=weights,
         image_size=(args.height, args.width), buffer=args.buffer,
         filter_thresh=args.filter_thresh)
     droid = Droid(cfg)
@@ -59,15 +59,31 @@ def main():
     parser.add_argument("--seeds", type=int, nargs="+", default=[7])
     parser.add_argument("--backend_steps", type=int, nargs="+",
                         default=[7, 12])
+    parser.add_argument("--compare_random", action="store_true",
+                        help="also evaluate a random-init model in the same "
+                             "process (shares every jit compile with the "
+                             "--weights run — each compile costs minutes on "
+                             "the tunneled TPU)")
     args = parser.parse_args()
 
-    ates = []
-    for seed in args.seeds:
-        ate = run(args, seed)
-        ates.append(ate)
-        print(f"seed {seed}: ATE RMSE {ate:.4f}")
-    print(f"mean ATE RMSE over {len(ates)} seeds: "
-          f"{float(np.mean(ates)):.4f}")
+    variants = [("weights", args.weights)]
+    if args.compare_random or args.weights is None:
+        variants += [("random-init", None)]
+        if args.weights is None:
+            variants = variants[1:]
+
+    results = {}
+    for tag, weights in variants:
+        ates = []
+        for seed in args.seeds:
+            ate = run(args, seed, weights=weights)
+            ates.append(ate)
+            print(f"[{tag}] seed {seed}: ATE RMSE {ate:.4f}", flush=True)
+        results[tag] = float(np.mean(ates))
+        print(f"[{tag}] mean ATE RMSE over {len(ates)} seeds: "
+              f"{results[tag]:.4f}", flush=True)
+    if len(results) > 1:
+        print("summary:", {k: round(v, 4) for k, v in results.items()})
 
 
 if __name__ == "__main__":
