@@ -49,15 +49,30 @@ def _enable_compilation_cache():
     On the tunneled-TPU deployment a single compile costs 15 s - 5 min of
     remote AOT; caching executables on disk lets train/eval/bench processes
     reuse each other's compiles. Defaults to a repo-local directory;
-    JAX_COMPILATION_CACHE_DIR overrides."""
+    JAX_COMPILATION_CACHE_DIR overrides.
+
+    Only configures jax when it is ALREADY imported (every entry script
+    imports jax before this package) or when a CPU platform is requested:
+    importing jax here would touch the axon plugin, which blocks while the
+    tunnel is down — `import droid_slam_tpu` alone must never hang."""
     import os
+    import sys
 
     if os.environ.get("JAX_NO_COMPILE_CACHE"):
         return
-    cache = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"))
+    cpu_requested = "cpu" in (os.environ.get("JAX_PLATFORM_NAME", ""),
+                              os.environ.get("JAX_PLATFORMS", ""))
+    if "jax" not in sys.modules and not cpu_requested:
+        return
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.isdir(os.path.join(repo_root, ".git")):
+        default_cache = os.path.join(repo_root, ".jax_cache")
+    else:  # installed (site-packages) — use a user cache dir instead
+        default_cache = os.path.join(
+            os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache")),
+            "droid_slam_tpu", "jax_cache")
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", default_cache)
     try:
         import jax
 

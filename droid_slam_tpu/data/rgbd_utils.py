@@ -10,6 +10,7 @@ from __future__ import annotations
 import os.path as osp
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..geom import projective as pops
@@ -105,34 +106,48 @@ def pose_matrix_to_quaternion(pose):
     return np.concatenate([pose[:3, 3], q], axis=0)
 
 
+# behavior constants of the reference metric (rgbd_utils.py:121-136):
+# per-pixel flow saturates at MAX_FLOW px and a pair counts as covisible
+# only when >= MIN_COVIS of pixels reproject validly (both directions
+# pooled); non-covisible pairs score inf.
+MAX_FLOW = 100.0
+MIN_COVIS = 0.7
+
+
+def _flow_row(poses_w2c, disps, intr, i):
+    """Symmetric mean-flow distances from frame i to every frame [N]."""
+    jj = jnp.arange(poses_w2c.shape[0])
+    ii = jnp.full_like(jj, i)
+    num = jnp.zeros(jj.shape, disps.dtype)
+    den = jnp.zeros(jj.shape, disps.dtype)
+    for a, b in ((ii, jj), (jj, ii)):  # bidirectional, pooled
+        flow, val = pops.induced_flow(poses_w2c, disps, intr, a, b)
+        mag = jnp.minimum(jnp.linalg.norm(flow, axis=-1), MAX_FLOW)
+        val = val.reshape(val.shape[0], -1)  # [N, H*W] ( [..,1] squeezed)
+        num += jnp.sum(mag.reshape(mag.shape[0], -1) * val, axis=-1)
+        den += jnp.sum(val, axis=-1)
+    covis = den / (2.0 * disps.shape[-2] * disps.shape[-1])
+    mean = num / jnp.maximum(den, 1e-8)
+    return jnp.where(covis < MIN_COVIS, jnp.inf, mean)
+
+
+@jax.jit
+def _flow_matrix(poses_w2c, disps, intr):
+    # one row of the N x N matrix per map step: peak memory O(N*HW), the
+    # whole matrix in one jit dispatch (no host chunk loop)
+    return jax.lax.map(
+        lambda i: _flow_row(poses_w2c, disps, intr, i),
+        jnp.arange(poses_w2c.shape[0]))
+
+
 def compute_distance_matrix_flow(poses, disps, intrinsics):
-    """rgbd_utils.py:105-142: mean induced-flow magnitude between all pairs
-    (inf where <70%% covisible). poses are c2w [N,7] numpy; inverted here."""
+    """Mean induced-flow magnitude between all frame pairs [N,N]
+    (reference metric: rgbd_utils.py:105-142). poses are c2w [N,7] numpy;
+    inverted to w2c here. Used offline for covisibility indexing (results
+    are pickled by data/base.py), so the per-N jit compile is paid once
+    per scene shape."""
     poses_w2c = se3.inv(jnp.asarray(poses, jnp.float32))
-    disps = jnp.asarray(disps, jnp.float32)
-    intr = jnp.asarray(intrinsics, jnp.float32)
-
-    N = poses_w2c.shape[0]
-    ii, jj = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
-    ii = ii.reshape(-1)
-    jj = jj.reshape(-1)
-
-    MAX_FLOW = 100.0
-    matrix = np.zeros((N, N), np.float32)
-    s = 2048
-    for i in range(0, len(ii), s):
-        i1 = jnp.asarray(ii[i:i + s])
-        j1 = jnp.asarray(jj[i:i + s])
-        flow1, val1 = pops.induced_flow(poses_w2c, disps, intr, i1, j1)
-        flow2, val2 = pops.induced_flow(poses_w2c, disps, intr, j1, i1)
-        flow = jnp.stack([flow1, flow2], axis=1)
-        val = jnp.stack([val1, val2], axis=1)
-        mag = jnp.clip(jnp.linalg.norm(flow, axis=-1), max=MAX_FLOW)
-        mag = mag.reshape(mag.shape[0], -1)
-        val = val.reshape(val.shape[0], -1)
-        vmean = jnp.mean(val, -1)
-        m = jnp.sum(mag * val[..., :], -1) / jnp.maximum(
-            jnp.sum(val, -1), 1e-8)
-        m = jnp.where(vmean < 0.7, jnp.inf, m)
-        matrix[ii[i:i + s], jj[i:i + s]] = np.asarray(m)
-    return matrix
+    # np.array (not asarray): callers mutate the matrix (graph_utils.py)
+    return np.array(_flow_matrix(poses_w2c,
+                                 jnp.asarray(disps, jnp.float32),
+                                 jnp.asarray(intrinsics, jnp.float32)))

@@ -81,9 +81,10 @@ def euroc_timestamps(datapath):
     return np.array([float(os.path.basename(x)[:-4]) for x in images])
 
 
-def tum_stream(datapath, stride=2):
+def tum_stream(datapath, stride=2, image_size=(240, 320)):
     """test_tum.py:24-56: freiburg1 intrinsics, undistort, resize 352x256,
-    crop 16/8 borders."""
+    crop 16/8 borders (the crop is fixed; image_size is the post-crop
+    shape — the reference's hardcoded (240, 320))."""
     import cv2
 
     fx, fy, cx, cy = 517.3, 516.5, 318.6, 255.3
@@ -96,7 +97,7 @@ def tum_stream(datapath, stride=2):
     for t, imfile in enumerate(images_list):
         image = cv2.imread(imfile)
         image = cv2.undistort(image, K_l, d_l)
-        image = cv2.resize(image, (320 + 32, 240 + 16))
+        image = cv2.resize(image, (image_size[1] + 32, image_size[0] + 16))
 
         intr = np.array([fx, fy, cx, cy])
         intr[0] *= image.shape[1] / 640.0
@@ -116,8 +117,10 @@ def tum_timestamps(datapath, stride=2):
     return np.array([float(os.path.basename(x)[:-4]) for x in images_list])
 
 
-def eth3d_stream(datapath, use_depth=False, stride=1):
-    """test_eth3d.py:26-58: calibration.txt intrinsics, sqrt-area resize,
+def eth3d_stream(datapath, use_depth=False, stride=1,
+                 target_area=384 * 512):
+    """test_eth3d.py:26-58: calibration.txt intrinsics, sqrt-area resize
+    (to `target_area` pixels — the reference's hardcoded 384*512),
     depth/5000 at full res."""
     import cv2
 
@@ -133,8 +136,8 @@ def eth3d_stream(datapath, use_depth=False, stride=1):
         depth = cv2.imread(depth_file, cv2.IMREAD_ANYDEPTH) / 5000.0
 
         h0, w0, _ = image.shape
-        h1 = int(h0 * np.sqrt((384 * 512) / (h0 * w0)))
-        w1 = int(w0 * np.sqrt((384 * 512) / (h0 * w0)))
+        h1 = int(h0 * np.sqrt(target_area / (h0 * w0)))
+        w1 = int(w0 * np.sqrt(target_area / (h0 * w0)))
         image = cv2.resize(image, (w1, h1))
         image = image[: h1 - h1 % 8, : w1 - w1 % 8]
         depth = cv2.resize(depth, (w1, h1), interpolation=cv2.INTER_NEAREST)

@@ -22,13 +22,28 @@ def main():
     parser.add_argument("--weights", default=None)
     parser.add_argument("--backend_steps", type=int, nargs="+",
                         default=[7, 12])
+    # overrides for reduced-resolution / fixture runs (defaults = the
+    # reference's tuned ETH3D hyperparameters via PRESETS["eth3d"];
+    # --image_size sets the sqrt-area resize target, reference 384x512)
+    parser.add_argument("--image_size", type=int, nargs=2, default=None)
+    parser.add_argument("--buffer", type=int, default=None)
+    parser.add_argument("--warmup", type=int, default=None)
+    parser.add_argument("--filter_thresh", type=float, default=None)
+    parser.add_argument("--keyframe_thresh", type=float, default=None)
     args = parser.parse_args()
 
     import dataclasses
-    frames = list(eth3d_stream(args.datapath, use_depth=True))
+    area = (args.image_size[0] * args.image_size[1]
+            if args.image_size is not None else 384 * 512)
+    frames = list(eth3d_stream(args.datapath, use_depth=True,
+                               target_area=area))
     h, w = frames[0][1].shape[:2]
     cfg = dataclasses.replace(PRESETS["eth3d"], depth=True,
                               image_size=(h, w), weights=args.weights)
+    overrides = {k: getattr(args, k) for k in
+                 ("buffer", "warmup", "filter_thresh", "keyframe_thresh")
+                 if getattr(args, k) is not None}
+    cfg = dataclasses.replace(cfg, **overrides)
     droid = Droid(cfg)
     for (t, image, depth, intrinsics) in frames:
         droid.track(t, image, depth=depth, intrinsics=intrinsics)

@@ -24,14 +24,28 @@ def main():
     parser.add_argument("--stereo", action="store_true")
     parser.add_argument("--backend_steps", type=int, nargs="+",
                         default=[7, 12])
+    # overrides for reduced-resolution / fixture runs (defaults = the
+    # reference's tuned EuRoC hyperparameters via PRESETS["euroc"])
+    parser.add_argument("--image_size", type=int, nargs=2, default=None)
+    parser.add_argument("--buffer", type=int, default=None)
+    parser.add_argument("--warmup", type=int, default=None)
+    parser.add_argument("--filter_thresh", type=float, default=None)
+    parser.add_argument("--keyframe_thresh", type=float, default=None)
     args = parser.parse_args()
 
     import dataclasses
     cfg = dataclasses.replace(PRESETS["euroc"], stereo=args.stereo,
                               weights=args.weights)
+    overrides = {k: getattr(args, k) for k in
+                 ("buffer", "warmup", "filter_thresh", "keyframe_thresh")
+                 if getattr(args, k) is not None}
+    if args.image_size is not None:
+        overrides["image_size"] = tuple(args.image_size)
+    cfg = dataclasses.replace(cfg, **overrides)
     droid = Droid(cfg)
 
-    images = euroc_stream(args.datapath, stereo=args.stereo, stride=1)
+    images = euroc_stream(args.datapath, stereo=args.stereo, stride=1,
+                          image_size=cfg.image_size)
     for (t, image, intrinsics) in images[::2]:  # track at stride 2
         droid.track(t, image, intrinsics=intrinsics)
 

@@ -224,3 +224,10 @@ def install():
 
         if getattr(torch.as_tensor, "__name__", "") != "as_tensor_cpu":
             torch.as_tensor = as_tensor_cpu
+
+        # reference code calls .cuda() unconditionally in places
+        # (e.g. rgbd_utils.py:117-118) — make it a no-op on CPU-only torch
+        if getattr(torch.Tensor.cuda, "__name__", "") != "cuda_noop":
+            def cuda_noop(self, *args, **kwargs):
+                return self
+            torch.Tensor.cuda = cuda_noop
