@@ -174,3 +174,63 @@ def test_sample_loss_matches_unrolled():
                              for k in sorted(g_unrl)])
     rel = np.linalg.norm(flat_s - flat_u) / np.linalg.norm(flat_u)
     assert rel < 1e-2, rel
+
+
+def _tiny_batch(B, N=5, H=48, W=64, seed=0):
+    import jax.numpy as jnp
+    from droid_slam_tpu.data.synthetic import SyntheticBox
+    from droid_slam_tpu.lie import se3
+
+    db = SyntheticBox(n_clips=B, n_frames=N, image_size=(H, W), seed=seed)
+    images, poses, disps, intr = zip(*[db[i] for i in range(B)])
+    Ps = np.asarray(se3.inv(jnp.asarray(np.stack(poses))))
+    ii = np.array([i for i in range(N) for j in range(N)
+                   if 0 < abs(i - j) <= 1])
+    jj = np.array([j for i in range(N) for j in range(N)
+                   if 0 < abs(i - j) <= 1])
+    return {"images": np.stack(images).astype(np.uint8),
+            "poses": Ps.astype(np.float32),
+            "disps": np.stack(disps).astype(np.float32),
+            "intrinsics": np.stack(intr).astype(np.float32),
+            "ii": ii, "jj": jj}
+
+
+@pytest.mark.slow
+def test_dp_step_matches_single_device():
+    """The DDP-correctness property (reference train.py:25-33 NCCL
+    all-reduce): a 4-way data-parallel shard_map step must produce the same
+    updated params as one device stepping on the concatenated batch —
+    gradient pmean == mean over the full batch."""
+    import jax
+    from droid_slam_tpu.parallel.mesh import (data_parallel_mesh, replicate,
+                                              shard_batch)
+    from droid_slam_tpu.train.trainer import (TrainConfig, init_train_state,
+                                              make_train_step)
+
+    assert len(jax.devices()) >= 4
+    cfg = TrainConfig(restart_prob=0.0, n_frames=5)
+    batch = _tiny_batch(B=4)
+    key = jax.random.PRNGKey(42)
+
+    results = {}
+    for ndev in (1, 4):
+        mesh = data_parallel_mesh(ndev)
+        params, opt_state = init_train_state(cfg, seed=3)
+        step_fn, _ = make_train_step(mesh, cfg, num_steps=1)
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        sb = shard_batch(mesh, {k: batch[k] for k in
+                                ("images", "poses", "disps", "intrinsics")})
+        sb["ii"] = replicate(mesh, batch["ii"])
+        sb["jj"] = replicate(mesh, batch["jj"])
+        new_params, _, metrics = step_fn(params, opt_state, sb, key)
+        results[ndev] = (jax.device_get(new_params),
+                         {k: float(v) for k, v in metrics.items()})
+
+    p1, m1 = results[1]
+    p4, m4 = results[4]
+    assert m1["grad_nanfrac"] == 0.0 and m4["grad_nanfrac"] == 0.0
+    assert np.isclose(m1["loss"], m4["loss"], rtol=1e-4)
+    for k in p1:
+        np.testing.assert_allclose(p1[k], p4[k], rtol=2e-4, atol=2e-5,
+                                   err_msg=k)
