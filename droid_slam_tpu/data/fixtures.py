@@ -116,6 +116,48 @@ def write_tum_fixture(root, n_frames=20, seed=4, image_size=(480, 640)):
     return root
 
 
+def write_tartanair_fixture(root, n_scenes=2, n_frames=12, seed=6,
+                            image_size=(480, 640)):
+    """TartanAir layout: <env>/<env>/Easy/P00k/{image_left/*.png,
+    depth_left/*.npy, pose_left.txt}. Poses are written in TartanAir's NED
+    order with metre translations and depth npy in metres, i.e. the exact
+    inverse of the reader's [1,2,0,4,5,3,6] remap + DEPTH_SCALE=5 division
+    (data/tartan.py:72-91, reference tartan.py:43-70). Rendered with the
+    dataset's fixed calibration (320,320,320,240 at 640x480) so geometry
+    stays consistent with calib_read()."""
+    import cv2
+
+    H, W = image_size
+    intr = np.array([320.0 * W / 640, 320.0 * H / 480,
+                     320.0 * W / 640, 240.0 * H / 480], np.float32)
+    for s in range(n_scenes):
+        rng = np.random.default_rng(seed * 1009 + s)
+        scene_seed = int(rng.integers(1, 2 ** 20))
+        # default walk steps: ~20-60 px flow at fx=320, inside the
+        # [fmin, fmax]=[8, 96] training covisibility band
+        Rs, ts = random_trajectory(n_frames, rng)
+        scene = os.path.join(root, "boxworld", "boxworld", "Easy",
+                             f"P{s:03d}")
+        os.makedirs(os.path.join(scene, "image_left"), exist_ok=True)
+        os.makedirs(os.path.join(scene, "depth_left"), exist_ok=True)
+
+        xyz = poses_c2w_from_mats(Rs, ts)          # [N,7] XYZ [t,q]
+        ned = xyz[:, [2, 0, 1, 5, 3, 4, 6]].copy()  # inverse of reader remap
+        ned[:, :3] *= 5.0                           # reader divides by 5
+        np.savetxt(os.path.join(scene, "pose_left.txt"), ned, fmt="%.8f",
+                   delimiter=" ")
+        for k, (R, t) in enumerate(zip(Rs, ts)):
+            img, depth = render_view(R, t, intr, (H, W), seed=scene_seed)
+            cv2.imwrite(os.path.join(scene, "image_left",
+                                     f"{k:06d}_left.png"),
+                        img.astype(np.uint8))
+            # reader: np.load(...)/5 -> metres; our depth is already the
+            # scene-unit ray depth, store x5 so the round trip is exact
+            np.save(os.path.join(scene, "depth_left", f"{k:06d}_left.npy"),
+                    (depth * 5.0).astype(np.float32))
+    return root
+
+
 def write_eth3d_fixture(root, n_frames=16, seed=5, image_size=(240, 320)):
     """ETH3D-SLAM layout: rgb/*.png, depth/*.png (uint16, metres*5000),
     calibration.txt 'fx fy cx cy', rgb.txt 'ts path', groundtruth.txt

@@ -35,7 +35,14 @@ def _bucket(n, buckets):
     for b in buckets:
         if n <= b:
             return b
-    raise ValueError(f"{n} exceeds buckets {buckets}")
+    # beyond the tuned table, grow geometrically instead of failing: long
+    # sequences legitimately exceed it (backend max_factors = 16*t puts
+    # t=200 keyframes at 3200 edges), and doubling keeps the number of
+    # distinct jit keys logarithmic in sequence length
+    b = buckets[-1]
+    while b < n:
+        b *= 2
+    return b
 
 
 ACTIVE_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256)

@@ -107,8 +107,14 @@ def main():
                           n_frames=args.n_frames,
                           image_size=tuple(args.image_size))
     else:
+        # crop_size <- --image_size (reference train.py crops TartanAir to
+        # 384x512; smaller values give reduced-res runs e.g. for fixtures);
+        # the covisibility index cache lives WITH the dataset so switching
+        # --datapath can never pick up a stale index
         db = TartanAir(datapath=args.datapath, n_frames=args.n_frames,
-                       fmin=args.fmin, fmax=args.fmax)
+                       fmin=args.fmin, fmax=args.fmax,
+                       crop_size=tuple(args.image_size),
+                       cache_dir=os.path.join(args.datapath, ".index_cache"))
     rng = np.random.default_rng(12345)
     logger = Logger(args.name)
     os.makedirs("checkpoints", exist_ok=True)
