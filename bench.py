@@ -173,15 +173,65 @@ def main():
         jax.profiler.stop_trace()
 
     fps = n_meas / dt
-    print(json.dumps({
+    result = {
         "metric": ("keyframe_fps_euroc_mono_320x512_async" if use_async
                    else "keyframe_fps_euroc_mono_320x512"),
         "value": round(fps, 3),
         "unit": "keyframes/s",
         "vs_baseline": round(fps / 10.0, 3),
-    }))
+    }
+
+    # speculation health (slam/droid.py speculative dispatch): rates of
+    # full mis-speculation unwinds and proposal-distance ring misses over
+    # every tracked frame. The strict-vs-speculative trajectory delta is
+    # pinned bit-exact by tests/test_spec_frame.py (incl. keyframe-removal
+    # events), so nonzero rates here cost only re-dispatch time, not ATE.
+    n_frames = n_warm + n_meas
+    result["spec_mis_rate"] = round(
+        getattr(droid, "_spec_mis", 0) / n_frames, 4)
+    result["spec_dist_miss_rate"] = round(
+        getattr(droid, "_spec_dist_miss", 0) / n_frames, 4)
+
+    # MFU: model FLOPs of the steady frame at the LIVE bucket shapes
+    # (tools/flops_model.py, costed on the CPU backend in a subprocess so
+    # no TPU recompile happens here) against the chip's bf16 peak.
+    try:
+        result["mfu"] = round(_measure_mfu(droid, fps, H, W), 4)
+    except Exception as e:  # never let accounting kill the bench number
+        result["mfu_error"] = str(e)[:120]
+
+    print(json.dumps(result))
     if use_async:
         droid._stop.set()
+
+
+def _measure_mfu(droid, fps, H, W):
+    import subprocess
+    import sys as _sys
+
+    import jax
+
+    shape = droid._last_tables["ba_shape"]
+    g = droid.frontend.graph
+    iters = (int(droid._last_sc.get("n_iters", 3))
+             + int(droid._last_sc.get("n_iters2", 2)))
+    args = [_sys.executable, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools", "flops_model.py"),
+        "--height", str(H), "--width", str(W),
+        "--slots", str(g.net.shape[0]),
+        "--ba_edges", str(shape.edges), "--window", str(shape.window),
+        "--rmax", str(shape.rmax), "--iters", str(iters),
+        "--lookup_impl", str(g.lookup_impl)]
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu")
+    out = subprocess.run(args, env=env, capture_output=True, text=True,
+                         timeout=900)
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-200:])
+    flops = json.loads(out.stdout.strip().splitlines()[-1])["flops_per_frame"]
+
+    from tools.flops_model import peak_for
+    peak = peak_for(jax.devices()[0].device_kind)
+    return fps * flops / peak
 
 
 if __name__ == "__main__":

@@ -178,6 +178,9 @@ class TrackPipeline:
 
         self._pending_vec = out_vec
         self._pending_ran_upd = run_upd
+        # live bucket metadata for bench.py's MFU accounting
+        # (tools/flops_model.py re-costs the frame at these exact shapes)
+        self._last_tables, self._last_sc = tb, sc
         self._spec_meta = dict(
             ran_upd=run_upd, probe_key=f._probe_key,
             n_pairs=(mf._pending[-1] if mf._pending else 0),
