@@ -66,6 +66,12 @@ def evaluate_ate(est_traj, ref_traj, t_est=None, t_ref=None, scale=True,
     else:
         n = min(len(est_xyz), len(ref_xyz))
         est_xyz, ref_xyz = est_xyz[:n], ref_xyz[:n]
+    if not np.isfinite(est_xyz).all():
+        # a divergent track (e.g. random-init weights) is a valid *result*:
+        # score it inf instead of crashing the Umeyama SVD
+        return {"ate_rmse": float("inf"), "scale": 1.0,
+                "n_matches": len(est_xyz),
+                "errors": np.full(len(est_xyz), np.inf)}
     rmse, err, s = ate_rmse(est_xyz, ref_xyz, scale=scale)
     return {"ate_rmse": rmse, "scale": s, "n_matches": len(est_xyz),
             "errors": err}

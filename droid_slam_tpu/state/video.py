@@ -149,6 +149,12 @@ class DepthVideo:
         written in ONE fused dispatch — or, with `defer`, returned as
         (index, values, fields) for a caller that folds the write into a
         larger program (the single-dispatch frame path)."""
+        if index >= self.buffer:
+            raise RuntimeError(
+                f"DepthVideo buffer full: keyframe index {index} >= "
+                f"buffer {self.buffer}. Raise --buffer (reference uses "
+                f"512-1024 per dataset, SURVEY.md §2.4) or raise "
+                f"filter_thresh to admit fewer keyframes.")
         if image is not None:
             self.images[index] = np.asarray(image)
 

@@ -50,9 +50,13 @@ def main():
     for tag, weights in variants:
         ates = []
         for seed in args.seeds:
-            ate = run(args, seed, weights=weights)
+            try:
+                ate = float(run(args, seed, weights=weights))
+            except Exception as e:  # divergent track etc. — score, don't die
+                print(f"[{tag}] seed {seed}: FAILED ({e})", flush=True)
+                ate = float("inf")
             print(f"[{tag}] seed {seed}: ATE RMSE {ate:.4f}", flush=True)
-            ates.append(float(ate))
+            ates.append(ate)
         rows.append({"tag": tag, "weights": weights,
                      "ates": ates, "mean": float(np.mean(ates))})
         print(f"[{tag}] mean over {len(ates)} seeds: "
