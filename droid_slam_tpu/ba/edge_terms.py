@@ -39,14 +39,15 @@ class EdgeTerms(NamedTuple):
     r: jnp.ndarray
     w_pose: jnp.ndarray   # weights for pose blocks (zeroed on stereo edges)
     w_depth: jnp.ndarray  # weights for depth blocks (kept on stereo edges)
-    Ji: jnp.ndarray
+    Ji: jnp.ndarray       # None in the factored form (derived via Adj)
     Jj: jnp.ndarray
     Jz: jnp.ndarray
+    Adj: jnp.ndarray = None  # [E,6,6] Ad(Gij); set when Ji is None
 
 
 def linearize(poses, disps, intrinsics, target, weight, ii, jj,
               edge_valid=None, min_depth=pops.MIN_DEPTH_BA,
-              zero_stereo_pose=True) -> EdgeTerms:
+              zero_stereo_pose=True, factored=True) -> EdgeTerms:
     """Linearize the reprojection residuals of every edge.
 
     target/weight: [E, 2, HW]. ii/jj: [E] frame indices into poses/disps.
@@ -57,13 +58,26 @@ def linearize(poses, disps, intrinsics, target, weight, ii, jj,
     stereo edges (ii == jj) the pose-block weights are zeroed but the
     depth-block weights are kept (zero_stereo_pose=True, the inference
     behavior; the training BA of geom/ba.py:43 keeps them).
+
+    ``factored`` (default): exploit Ji = -Jj @ Ad(Gij) — Ad is constant over
+    pixels, so i-side Gauss-Newton blocks are per-edge 6x6 congruences of the
+    j-side contractions (pose_blocks/depth_blocks below). This skips the
+    [E,HW,2,6] Ji materialization + per-pixel adjT (~30 MB HBM and one of the
+    three big pixel contractions per GN iteration); the result is
+    algebraically identical to the reference's per-pixel accumulation
+    (droid_kernels.cu:337-351) up to f32 reassociation.
     """
     E = ii.shape[0]
     h, w_ = disps.shape[-2:]
     hw = h * w_
 
     coords, valid, (Ji, Jj, Jz) = pops.projective_transform(
-        poses, disps, intrinsics, ii, jj, jacobian=True, min_depth=min_depth)
+        poses, disps, intrinsics, ii, jj, jacobian=True, min_depth=min_depth,
+        factored_jac=factored)
+    Adj = None
+    if factored:
+        from ..lie import se3
+        Adj = se3.adj_matrix(pops.relative_poses(poses, ii, jj))
 
     # [E,H,W,c...] -> [E,c...,HW]
     coords = coords.reshape(E, hw, 2).transpose(0, 2, 1)
@@ -81,11 +95,13 @@ def linearize(poses, disps, intrinsics, target, weight, ii, jj,
         w_pose = wgt
     w_depth = wgt
 
-    Ji = Ji.reshape(E, hw, 2, 6).transpose(0, 2, 3, 1)
+    if Ji is not None:
+        Ji = Ji.reshape(E, hw, 2, 6).transpose(0, 2, 3, 1)
     Jj = Jj.reshape(E, hw, 2, 6).transpose(0, 2, 3, 1)
     Jz = Jz.reshape(E, hw, 2).transpose(0, 2, 1)
 
-    return EdgeTerms(r=r, w_pose=w_pose, w_depth=w_depth, Ji=Ji, Jj=Jj, Jz=Jz)
+    return EdgeTerms(r=r, w_pose=w_pose, w_depth=w_depth, Ji=Ji, Jj=Jj,
+                     Jz=Jz, Adj=Adj)
 
 
 def pose_blocks(t: EdgeTerms, precision: str = None):
@@ -93,8 +109,28 @@ def pose_blocks(t: EdgeTerms, precision: str = None):
     (droid_kernels.cu:337-351, geom/ba.py:53-59).
 
     Returns Hii, Hij, Hji, Hjj [E,6,6] and vi, vj [E,6].
+
+    Factored form (t.Ji is None): with A = Ad(Gij) and Ji = -Jj A,
+      Hii = A^T Hjj A,  Hij = -A^T Hjj,  Hji = -Hjj A,  vi = -A^T vj —
+    one big pixel contraction instead of three, the rest per-edge 6x6.
     """
     prec = precision or ba_precision()
+
+    Hjj = jnp.einsum("ech,ecdh,ecfh->edf", t.w_pose, t.Jj, t.Jj,
+                     precision=prec)
+    vj = jnp.einsum("ech,ecdh,ech->ed", t.w_pose, t.Jj, t.r,
+                    precision=prec)
+    if t.Ji is None:
+        A = t.Adj
+        # per-edge 6x6 transforms as broadcast-multiply-reduce: einsum would
+        # lower these to MXU batched 6x6 matmuls (one 8x128-padded pass per
+        # edge — sub-1% utilization); the VPU form fuses flat
+        HjjA = (Hjj[:, :, :, None] * A[:, None, :, :]).sum(2)   # Hjj @ A
+        Hii = (A[:, :, :, None] * HjjA[:, :, None, :]).sum(1)   # A^T Hjj A
+        Hij = -(A[:, :, :, None] * Hjj[:, :, None, :]).sum(1)   # -A^T Hjj
+        Hji = -HjjA
+        vi = -(A * vj[:, :, None]).sum(1)                       # -A^T vj
+        return Hii, Hij, Hji, Hjj, vi, vj
 
     def H(Ja, Jb):
         return jnp.einsum("ech,ecdh,ecfh->edf", t.w_pose, Ja, Jb,
@@ -102,11 +138,8 @@ def pose_blocks(t: EdgeTerms, precision: str = None):
 
     Hii = H(t.Ji, t.Ji)
     Hij = H(t.Ji, t.Jj)
-    Hjj = H(t.Jj, t.Jj)
     Hji = jnp.swapaxes(Hij, -1, -2)
     vi = jnp.einsum("ech,ecdh,ech->ed", t.w_pose, t.Ji, t.r,
-                    precision=prec)
-    vj = jnp.einsum("ech,ecdh,ech->ed", t.w_pose, t.Jj, t.r,
                     precision=prec)
     return Hii, Hij, Hji, Hjj, vi, vj
 
@@ -115,10 +148,13 @@ def depth_blocks(t: EdgeTerms):
     """Per-edge depth-coupled terms (droid_kernels.cu:328-384).
 
     Ei/Ej [E,6,HW] pose-depth coupling (pose-weighted), Cz [E,HW] depth diag,
-    bz [E,HW] depth RHS (depth-weighted).
+    bz [E,HW] depth RHS (depth-weighted). Factored form: Ei = -Ad^T Ej.
     """
-    Ei = jnp.einsum("ech,ecdh,ech->edh", t.w_pose, t.Ji, t.Jz)
     Ej = jnp.einsum("ech,ecdh,ech->edh", t.w_pose, t.Jj, t.Jz)
+    if t.Ji is None:
+        Ei = -jnp.einsum("eda,edh->eah", t.Adj, Ej)
+    else:
+        Ei = jnp.einsum("ech,ecdh,ech->edh", t.w_pose, t.Ji, t.Jz)
     Cz = jnp.einsum("ech,ech,ech->eh", t.w_depth, t.Jz, t.Jz)
     bz = jnp.einsum("ech,ech,ech->eh", t.w_depth, t.r, t.Jz)
     return Ei, Ej, Cz, bz

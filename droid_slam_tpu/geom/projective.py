@@ -109,12 +109,19 @@ def relative_poses(poses: jnp.ndarray, ii: jnp.ndarray, jj: jnp.ndarray) -> jnp.
 
 
 def projective_transform(poses, disps, intrinsics, ii, jj, jacobian=False,
-                         return_depth=False, min_depth=MIN_DEPTH):
+                         return_depth=False, min_depth=MIN_DEPTH,
+                         factored_jac=False):
     """Map pixels of frames ii into frames jj (projective_ops.py:165-198).
 
     Returns (coords [E,H,W,2(3)], valid [E,H,W,1], (Ji, Jj, Jz) | None).
     Ji/Jj are [E,H,W,2,6] pose Jacobians (left perturbation, Ji via the dual
     adjoint), Jz is [E,H,W,2,1] the inverse-depth Jacobian.
+
+    With ``factored_jac`` Ji is returned as None: since Ji = -Jj @ Ad(Gij)
+    with Ad constant over pixels, callers assembling Gauss-Newton blocks can
+    derive every i-side block from the j-side contraction with one per-edge
+    6x6 transform (ba/edge_terms.py) — skipping the [E,HW,2,6] Ji
+    materialization and the per-pixel adjT entirely.
     """
     X0 = iproj(disps[ii], intrinsics[ii])
     Gij = relative_poses(poses, ii, jj)
@@ -146,7 +153,7 @@ def projective_transform(poses, disps, intrinsics, ii, jj, jacobian=False,
                       -fy * (1.0 + y * y * d2), fy * x * y * d2,
                       fy * x * d], axis=-1)
     Jj = jnp.stack([Jj_u, Jj_v], axis=-2)  # [E,H,W,2,6]
-    Ji = -se3.adjT(Gij[..., None, None, None, :], Jj)
+    Ji = None if factored_jac else -se3.adjT(Gij[..., None, None, None, :], Jj)
 
     # depth Jacobian: t_ij enters through the homogeneous coordinate
     tij = Gij[..., None, None, :3]

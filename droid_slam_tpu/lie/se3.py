@@ -241,6 +241,26 @@ def adjT(g: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([out_v, out_w], axis=-1)
 
 
+def adj_matrix(g: jnp.ndarray) -> jnp.ndarray:
+    """Explicit adjoint matrix Ad(g) [..., 6, 6] = [[R, [t]x R], [0, R]].
+
+    Matches adjT: adjT(g, a) == a @ Ad(g) for covectors a (pinned in
+    tests/test_lie.py). Used by the factored BA linearization — Ji-side
+    Hessian blocks are per-edge 6x6 congruences of the Jj-side blocks
+    (ba/edge_terms.py), so Ad is materialized once per edge instead of
+    adjT once per pixel."""
+    R = quat_to_matrix(g[..., 3:7])
+    t = g[..., :3]
+    tx, ty, tz = t[..., 0], t[..., 1], t[..., 2]
+    o = jnp.zeros_like(tx)
+    S = jnp.stack([o, -tz, ty,
+                   tz, o, -tx,
+                   -ty, tx, o], axis=-1).reshape(t.shape[:-1] + (3, 3))
+    top = jnp.concatenate([R, S @ R], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def normalize(g: jnp.ndarray) -> jnp.ndarray:
     """Renormalize the quaternion part (numerical hygiene after long chains)."""
     q = g[..., 3:7]

@@ -74,31 +74,81 @@ def extract_features(params, images_bgr_u8, compute_dtype=jnp.float32):
 # ConvGRU with global context gates (gru.py:5-32)
 # ---------------------------------------------------------------------------
 
-def conv_gru(params, net, inp):
-    """net [E,h,w,128], inp [E,h,w,192+128] concat of (corr, flow) features
-    plus context; returns updated net.
+def _merged_w(params, names):
+    w = jnp.concatenate([params[n + ".weight"] for n in names], axis=-1)
+    b = jnp.concatenate([params[n + ".bias"] for n in names], axis=-1)
+    return w, b
+
+
+def _conv_nobias(x, w, padding=None):
+    return conv2d({"m.weight": w.astype(x.dtype)}, "m", x, padding=padding)
+
+
+def _glo_gates(params, net):
+    """Global-context gate biases gz/gr/gq [E,1,1,128] each.
+
+    The pooled context is [E,128]; running the three 1x1 context convs
+    through the conv machinery at 1x1 spatial triggers pathological layouts
+    on TPU — a plain [E,128]@[128,384] matmul is the same math
+    (gru.py:24-31)."""
+    glo = jax.nn.sigmoid(conv2d(params, "update.gru.w", net)) * net
+    glo = jnp.mean(glo.astype(jnp.float32), axis=(1, 2)).astype(net.dtype)
+    w, b = _merged_w(params, ["update.gru.convz_glo", "update.gru.convr_glo",
+                              "update.gru.convq_glo"])
+    zrq = glo @ w.reshape(w.shape[2], w.shape[3]).astype(glo.dtype) \
+        + b.astype(glo.dtype)
+    zrq = zrq[:, None, None, :]
+    return zrq[..., :128], zrq[..., 128:256], zrq[..., 256:]
+
+
+def gru_context_pre(params, inp):
+    """Iteration-invariant GRU input contributions of the context features.
+
+    conv(concat(net, inp, c, f), W) == conv(net, W[:, :, :128])
+    + conv(inp, W[:, :, 128:256]) + conv(cf, W[:, :, 256:]): `inp` is fixed
+    across the frontend's GRU+DBA iterations, so its convz/convr/convq
+    contributions are computed ONCE per frame program and carried as loop
+    constants instead of re-contracted (and re-concatenated) every iteration
+    (~95 GFLOP + two 43 MB concat materializations per iteration saved).
+    """
+    wzr, _ = _merged_w(params, ["update.gru.convz", "update.gru.convr"])
+    wq = params["update.gru.convq.weight"]
+    pre_zr = _conv_nobias(inp, wzr[:, :, 128:256])
+    pre_q = _conv_nobias(inp, wq[:, :, 128:256].astype(inp.dtype))
+    return pre_zr, pre_q
+
+
+def conv_gru(params, net, inp, pre=None):
+    """net [E,h,w,128]; without ``pre``: inp [E,h,w,320] = concat of
+    (context, corr-features, flow-features); with ``pre`` (gru_context_pre):
+    inp [E,h,w,192] = concat of (corr, flow) features only. Returns updated
+    net.
 
     MXU packing: the z and r gates share their input, so their 3x3 convs are
     merged into one 256-channel conv; likewise the three 1x1 global-context
     convs become one 384-channel matmul (same math as gru.py:19-32)."""
-    net_inp = jnp.concatenate([net, inp], axis=-1)
-    glo = jax.nn.sigmoid(conv2d(params, "update.gru.w", net)) * net
-    glo = jnp.mean(glo, axis=(1, 2), keepdims=True)
+    gz, gr, gq = _glo_gates(params, net)
+    wzr, bzr = _merged_w(params, ["update.gru.convz", "update.gru.convr"])
+    wq = params["update.gru.convq.weight"]
+    bq = params["update.gru.convq.bias"]
 
-    def merged(names, x):
-        w = jnp.concatenate([params[n + ".weight"] for n in names], axis=-1)
-        b = jnp.concatenate([params[n + ".bias"] for n in names], axis=-1)
-        return conv2d({"m.weight": w, "m.bias": b}, "m", x)
+    if pre is None:
+        net_inp = jnp.concatenate([net, inp], axis=-1)
+        zr = _conv_nobias(net_inp, wzr) + bzr.astype(net.dtype)
+        z = jax.nn.sigmoid(zr[..., :128] + gz)
+        r = jax.nn.sigmoid(zr[..., 128:] + gr)
+        q = jnp.tanh(conv2d(params, "update.gru.convq",
+                            jnp.concatenate([r * net, inp], axis=-1)) + gq)
+        return (1.0 - z) * net + z * q
 
-    glo_zrq = merged(["update.gru.convz_glo", "update.gru.convr_glo",
-                      "update.gru.convq_glo"], glo)
-    gz, gr, gq = jnp.split(glo_zrq, 3, axis=-1)
-
-    zr = merged(["update.gru.convz", "update.gru.convr"], net_inp)
+    pre_zr, pre_q = pre
+    zr = (_conv_nobias(net, wzr[:, :, :128]) + _conv_nobias(inp, wzr[:, :, 256:])
+          + pre_zr + bzr.astype(net.dtype))
     z = jax.nn.sigmoid(zr[..., :128] + gz)
     r = jax.nn.sigmoid(zr[..., 128:] + gr)
-    q = jnp.tanh(conv2d(params, "update.gru.convq",
-                        jnp.concatenate([r * net, inp], axis=-1)) + gq)
+    q = jnp.tanh(_conv_nobias(r * net, wq[:, :, :128].astype(net.dtype))
+                 + _conv_nobias(inp, wq[:, :, 256:].astype(net.dtype))
+                 + pre_q + bq.astype(net.dtype) + gq)
     return (1.0 - z) * net + z * q
 
 
@@ -107,7 +157,7 @@ def conv_gru(params, net, inp):
 # ---------------------------------------------------------------------------
 
 def update_module(params, net, inp, corr, flow=None, ii=None, num_frames=None,
-                  frame_slots=None):
+                  frame_slots=None, pre=None, compute_upmask=True):
     """RAFT-SLAM update operator on a batch of edges.
 
     net/inp [E,h,w,128], corr [E,h,w,196], flow [E,h,w,4].
@@ -115,8 +165,14 @@ def update_module(params, net, inp, corr, flow=None, ii=None, num_frames=None,
     runs GraphAgg and returns per-frame damping/upmask aggregated with a
     segment-mean over edges sharing a source frame.
 
+    ``pre`` (gru_context_pre over inp) replaces the per-call context
+    contraction; ``compute_upmask=False`` skips the upsample-mask head
+    (returned as None) — the frontend only consumes the LAST iteration's
+    upmask, so the iteration loop defers it (state/graph.py) instead of
+    writing a 94 MB [F,h,w,576] tensor every iteration.
+
     Returns (net, delta [E,h,w,2], weight [E,h,w,2][, eta [F,h,w],
-    upmask [F,h,w,576]]).
+    upmask [F,h,w,576] | None]).
     """
     E, h, w, _ = net.shape
     if flow is None:
@@ -127,21 +183,37 @@ def update_module(params, net, inp, corr, flow=None, ii=None, num_frames=None,
     f = jax.nn.relu(conv2d(params, "update.flow_encoder.0", flow))
     f = jax.nn.relu(conv2d(params, "update.flow_encoder.2", f))
 
-    net = conv_gru(params, net, jnp.concatenate([inp, c, f], axis=-1))
+    if pre is None:
+        net = conv_gru(params, net, jnp.concatenate([inp, c, f], axis=-1))
+    else:
+        net = conv_gru(params, net, jnp.concatenate([c, f], axis=-1), pre=pre)
 
-    d = jax.nn.relu(conv2d(params, "update.delta.0", net))
-    delta = gradient_clip(conv2d(params, "update.delta.2", d))
-    s = jax.nn.relu(conv2d(params, "update.weight.0", net))
-    weight = jax.nn.sigmoid(gradient_clip(conv2d(params, "update.weight.2", s)))
+    # delta.0 and weight.0 share their input — one merged 128->256 MXU conv;
+    # the 2-channel second convs are merged block-diagonally into one
+    # 256->4 conv (2-lane outputs lower to pathological layouts on TPU;
+    # one such op instead of two). Zero cross-blocks keep the math exact.
+    wd0, bd0 = _merged_w(params, ["update.delta.0", "update.weight.0"])
+    ds = jax.nn.relu(_conv_nobias(jnp.asarray(net), wd0) + bd0.astype(net.dtype))
+    w2 = params["update.weight.2.weight"]
+    d2 = params["update.delta.2.weight"]
+    blk = jnp.zeros(d2.shape[:2] + (256, 4), d2.dtype)
+    blk = blk.at[:, :, :128, :2].set(d2).at[:, :, 128:, 2:].set(w2)
+    head = gradient_clip(
+        _conv_nobias(ds, blk)
+        + jnp.concatenate([params["update.delta.2.bias"],
+                           params["update.weight.2.bias"]]).astype(net.dtype))
+    delta = head[..., :2]
+    weight = jax.nn.sigmoid(head[..., 2:])
 
     if ii is None:
         return net, delta, weight
 
-    eta, upmask = graph_agg(params, net, ii, num_frames)
+    eta, upmask = graph_agg(params, net, ii, num_frames,
+                            compute_upmask=compute_upmask)
     return net, delta, weight, eta, upmask
 
 
-def graph_agg(params, net, ii, num_frames):
+def graph_agg(params, net, ii, num_frames, compute_upmask=True):
     """Segment-mean over edges with the same source frame, then damping and
     upsample-mask heads (droid_net.py:44-75). ``ii`` must already be
     zero-based frame slots in [0, num_frames)."""
@@ -153,7 +225,8 @@ def graph_agg(params, net, ii, num_frames):
 
     y = jax.nn.relu(conv2d(params, "update.agg.conv2", mean))
     eta = jax.nn.softplus(gradient_clip(conv2d(params, "update.agg.eta.0", y)))
-    upmask = conv2d(params, "update.agg.upmask.0", y)
+    upmask = (conv2d(params, "update.agg.upmask.0", y) if compute_upmask
+              else None)
     return 0.01 * eta[..., 0], upmask
 
 

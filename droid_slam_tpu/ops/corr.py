@@ -33,11 +33,17 @@ RADIUS = 3
 
 def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
     """2x2/stride-2 average pooling on the last two dims [..., H, W] with
-    torch's floor semantics (odd trailing row/col dropped)."""
+    torch's floor semantics (odd trailing row/col dropped).
+
+    Strided slices instead of the reshape-to-(h,2,w,2) trick: the merged-dim
+    reshape on a [E,HW,h,w] corr volume forces a relayout copy on TPU
+    (profiled ~1.7 ms/frame in the frontend's volume build); stride-2 lane/
+    sublane slices fuse into the add chain."""
     h, w = x.shape[-2] // 2, x.shape[-1] // 2
     x = x[..., :2 * h, :2 * w]
-    x = x.reshape(x.shape[:-2] + (h, 2, w, 2))
-    return x.mean(axis=(-3, -1))
+    s = ((x[..., 0::2, 0::2] + x[..., 0::2, 1::2])
+         + (x[..., 1::2, 0::2] + x[..., 1::2, 1::2]))
+    return s * jnp.asarray(0.25, x.dtype)
 
 
 def build_volume(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
@@ -143,13 +149,18 @@ def _lookup_level_tent(vol: jnp.ndarray, coords: jnp.ndarray, radius: int):
         E, HW, rd * rd)
 
 
-def _lookup_level_dense(vol: jnp.ndarray, coords: jnp.ndarray, radius: int):
+def _lookup_level_dense(vol: jnp.ndarray, coords: jnp.ndarray, radius: int,
+                        out_dtype=jnp.float32):
     """Tent-weight lookup as fused broadcast-multiply-reduce (VPU) instead of
     batched tiny matmuls (which the MXU executes one 8x40 matrix at a time).
 
     Same math as _lookup_level_tent; lowers to dense vectorized
     multiply-accumulate loops that XLA fuses without materializing the
-    5-D product.
+    5-D product. Output channels come out x-offset-major DIRECTLY (the
+    y-step's broadcast axes are arranged [h, a, b]) — no post-hoc
+    [E,HW,b,a] transpose copy. ``out_dtype=bfloat16`` fuses the GRU-input
+    cast into the reduction (accumulation stays f32), skipping the f32
+    materialization of the 196-channel feature tensor.
     """
     E, HW, h2, w2 = vol.shape
     r = radius
@@ -172,16 +183,18 @@ def _lookup_level_dense(vol: jnp.ndarray, coords: jnp.ndarray, radius: int):
     # features are cast to bf16 for the GRU anyway
     cols = jnp.sum(wx[:, :, None, :, :] * vol[:, :, :, None, :],
                    axis=-1, dtype=jnp.float32).astype(cdt)      # [E,HW,h2,rd]
-    # y-step: out[p,b,a] = sum_h T(y+b-r-h) cols[p,h,a]. The tent weights
-    # multiply in the compute dtype too — an f32 wy forces XLA to
-    # materialize an f32 upconversion of the quarter-GB cols intermediate
-    # (profiled at ~1.7 ms/frame); accumulation stays f32 via the dtype arg
-    ypos = y[..., None, None] + (off - r)[None, None, :, None]
+    # y-step: out[p,a,b] = sum_h T(y+b-r-h) cols[p,h,a], with the tent
+    # weights built directly in [E,HW,h2,rd] order so the output needs no
+    # transpose. Weights multiply in the compute dtype too — an f32 wy
+    # forces XLA to materialize an f32 upconversion of the quarter-GB cols
+    # intermediate (profiled at ~1.7 ms/frame); accumulation stays f32.
+    ypos = y[..., None, None] + (off - r)[None, None, None, :]  # [E,HW,1,rd]
     wy = jnp.clip(1.0 - jnp.abs(
-        ypos - jnp.arange(h2, dtype=jnp.float32)), 0.0, 1.0).astype(cdt)
-    out = jnp.sum(wy[:, :, :, :, None] * cols[:, :, None, :, :],
-                  axis=-2, dtype=jnp.float32)                   # [E,HW,rd(b),rd(a)]
-    return out.transpose(0, 1, 3, 2).reshape(E, HW, rd * rd)
+        ypos - jnp.arange(h2, dtype=jnp.float32)[:, None]), 0.0,
+        1.0).astype(cdt)                                        # [E,HW,h2,rd]
+    out = jnp.sum(cols[:, :, :, :, None] * wy[:, :, :, None, :],
+                  axis=2, dtype=jnp.float32)                    # [E,HW,a,b]
+    return out.astype(out_dtype).reshape(E, HW, rd * rd)
 
 
 def _lookup_level_rows(vol: jnp.ndarray, coords: jnp.ndarray, radius: int):
@@ -274,13 +287,14 @@ def _lookup_level_onehot(vol: jnp.ndarray, coords: jnp.ndarray, radius: int):
     return out.transpose(0, 1, 3, 2).reshape(E, HW, rd * rd)
 
 
-def _lookup_level_impl(vol, coords, radius, impl="auto"):
+def _lookup_level_impl(vol, coords, radius, impl="auto",
+                       out_dtype=jnp.float32):
     if impl == "auto":
         impl = "tent" if jax.default_backend() != "cpu" else "gather"
     if impl == "tent":
         return _lookup_level_tent(vol, coords, radius)
     if impl == "dense":
-        return _lookup_level_dense(vol, coords, radius)
+        return _lookup_level_dense(vol, coords, radius, out_dtype=out_dtype)
     if impl == "rows":
         return _lookup_level_rows(vol, coords, radius)
     if impl == "onehot":

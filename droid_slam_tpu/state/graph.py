@@ -57,7 +57,8 @@ AE_BUCKET = 16  # sticky new-edge bucket of the single-dispatch frame path
 def _update_core_traced(params, poses, disps, intrinsics, inps_buf, pyramid,
                         nets_e, target, weight, slots, ii, jj, valid, g0,
                         nw: int, lookup_impl: str = "gather",
-                        slot_native: bool = False):
+                        slot_native: bool = False, pre=None,
+                        compute_upmask: bool = True):
     """One GRU+heads iteration over the active edges (factor_graph.py:215-238).
 
     pyramid: tuple of [EB, HW, hl, wl] slot-addressed corr volumes.
@@ -106,7 +107,8 @@ def _update_core_traced(params, poses, disps, intrinsics, inps_buf, pyramid,
         outs = []
         for lvl, vol in enumerate(pyramid):
             outs.append(corr_ops._lookup_level_impl(
-                vol, c_slot / (2.0 ** lvl), corr_ops.RADIUS, lookup_impl))
+                vol, c_slot / (2.0 ** lvl), corr_ops.RADIUS, lookup_impl,
+                out_dtype=jnp.bfloat16))
         corr = jnp.concatenate(outs, axis=-1)
         if not slot_native:
             corr = corr[slots]
@@ -117,11 +119,13 @@ def _update_core_traced(params, poses, disps, intrinsics, inps_buf, pyramid,
     # route them to a dump segment (nw) and drop it
     agg_ii = jnp.where(valid, jnp.clip(ii - g0, 0, nw - 1), nw)
     net_e = nets_e if slot_native else nets_e[slots]
+    inp_e = None if pre is not None else inps_buf[ii].astype(cdt)
     net, delta, weight_new, eta, upmask = nets.update_module(
-        params, net_e.astype(cdt), inps_buf[ii].astype(cdt),
-        corr.astype(cdt), motn.astype(cdt), ii=agg_ii, num_frames=nw + 1)
+        params, net_e.astype(cdt), inp_e,
+        corr.astype(cdt), motn.astype(cdt), ii=agg_ii, num_frames=nw + 1,
+        pre=pre, compute_upmask=compute_upmask)
     eta = eta[:nw]
-    upmask = upmask[:nw]
+    upmask = upmask[:nw] if compute_upmask else None
 
     target_new = coords1 + delta.astype(jnp.float32)
     target_new = target_new.reshape(EA, hw, 2).transpose(0, 2, 1)
@@ -181,19 +185,27 @@ def _make_iteration(params, disps_sens, intrinsics, inps_buf, pyramid,
                     valid, inac_slots, g0, nw, lookup_impl, ba_shape, lm, ep,
                     slot_native: bool = False):
     """One (GRU update + DBA) iteration as a state->state closure
-    (factor_graph.py:215-263 semantics)."""
+    (factor_graph.py:215-263 semantics).
+
+    The context features' GRU contributions (gru_context_pre) and the
+    inactive-edge gathers are computed HERE — once per traced program — and
+    captured by the closure, so the fori_loop body sees them as loop
+    constants. The upsample-mask head is NOT run in the loop (only the last
+    iteration's mask is ever consumed; the caller recomputes it from the
+    final GRU state, saving a [nw,h,w,576] write per iteration)."""
     win = g0 + jnp.arange(nw)
     tgt_inac = target_inac_buf[inac_slots]
     wgt_inac = weight_inac_buf[inac_slots]
+    pre = nets.gru_context_pre(params, inps_buf[ii].astype(jnp.bfloat16))
 
     def iteration(state):
-        poses, disps, damping, nets_e, target, weight, _, _ = state
+        poses, disps, damping, nets_e, target, weight, _ = state
         h, w = disps.shape[-2:]
         hw = h * w
-        net_e, tgt_e, wgt_e, eta, upmask, _ = _update_core_traced(
+        net_e, tgt_e, wgt_e, eta, _upm, _ = _update_core_traced(
             params, poses, disps, intrinsics, inps_buf, pyramid, nets_e,
             target, weight, slots, ii, jj, valid, g0, nw, lookup_impl,
-            slot_native)
+            slot_native, pre=pre, compute_upmask=False)
 
         if slot_native:
             # tables are slot-ordered: masked in-place select, no scatter
@@ -231,9 +243,20 @@ def _make_iteration(params, disps_sens, intrinsics, inps_buf, pyramid,
         poses, disps = ba_inference.ba_iterations(
             ba_shape, poses, disps, disps_sens, damping, intrinsics[0],
             tgt_ba[:ba_shape.edges], wgt_ba[:ba_shape.edges], plan, lm, ep)
-        return (poses, disps, damping, nets_e, target, weight, eta,
-                upmask.astype(jnp.bfloat16))
+        return (poses, disps, damping, nets_e, target, weight, eta)
 
+    def final_upmask(nets_e):
+        """The deferred upsample-mask of the LAST iteration: graph_agg on the
+        final GRU state — identical to the mask that iteration would have
+        produced (the loop's masked select writes net back to nets_e for
+        exactly the valid slots the aggregation reads)."""
+        agg_ii = jnp.where(valid, jnp.clip(ii - g0, 0, nw - 1), nw)
+        net_e = nets_e if slot_native else nets_e[slots]
+        _eta, upmask = nets.graph_agg(params, net_e.astype(jnp.bfloat16),
+                                      agg_ii, nw + 1)
+        return upmask[:nw]
+
+    iteration.final_upmask = final_upmask
     return iteration
 
 
@@ -279,8 +302,7 @@ def _fused_update_part_a(params, poses, disps, disps_sens, damping,
 
     h8, w8 = disps.shape[-2:]
     state = (poses, disps, damping, nets_e, target, weight,
-             jnp.zeros((nw, h8, w8)),
-             jnp.zeros((nw, h8, w8, 576), jnp.bfloat16))
+             jnp.zeros((nw, h8, w8)))
     state = jax.lax.fori_loop(0, n_iters, lambda _, s: iteration(s), state)
 
     # keyframe-distance probe on the updated state (droid_frontend.py:94-98)
@@ -312,8 +334,11 @@ def _fused_update_part_b(state, kf_dist, params, disps_sens, intrinsics,
         keep_kf,
         lambda s: jax.lax.fori_loop(0, n_iters2, lambda _, x: iteration(x), s),
         lambda s: s, state)
-    (poses, disps, damping, nets_e, target, weight, eta_last,
-     upmask_last) = state
+    (poses, disps, damping, nets_e, target, weight, eta_last) = state
+
+    # deferred upsample-mask head: reconstructed from the final GRU state,
+    # equal to the last executed iteration's mask (see _make_iteration)
+    upmask_last = iteration.final_upmask(nets_e)
 
     disps_up = None
     if upsample:

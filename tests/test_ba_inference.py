@@ -191,3 +191,37 @@ def test_motion_only_matches_pose_solve(rng):
     np.testing.assert_allclose(np.asarray(disps), np.asarray(disps_gt))
     err = np.asarray(se3.log(se3.mul(se3.inv(poses), poses_gt)))
     assert np.abs(err[t0:]).max() < 1e-2
+
+
+def test_factored_blocks_match_unfactored(rng):
+    """The factored linearization (Ji = -Jj @ Ad, i-side blocks via per-edge
+    6x6 congruences) must reproduce the per-pixel Ji contraction exactly up
+    to f32 reassociation — including stereo edges (ii == jj) in both weight
+    conventions."""
+    (poses_gt, disps_gt, poses0, disps0, disps_sens, damping, intr4,
+     ii, jj, target) = setup(rng)
+    n, h, w = disps_gt.shape
+    ii = np.concatenate([ii, [1]])  # one stereo edge
+    jj = np.concatenate([jj, [1]])
+    E = len(ii)
+    target = jnp.concatenate(
+        [target, target[:1] + 0.3], axis=0)
+    weight = jnp.asarray(rng.uniform(0.2, 1.0, size=(E, 2, h * w))
+                         .astype(np.float32))
+    intr = jnp.broadcast_to(intr4, (n, 4))
+
+    for zero_stereo in (True, False):
+        kw = dict(edge_valid=None, min_depth=0.25,
+                  zero_stereo_pose=zero_stereo)
+        tf = edge_terms.linearize(poses0, disps0, intr, target, weight,
+                                  jnp.asarray(ii), jnp.asarray(jj),
+                                  factored=True, **kw)
+        tu = edge_terms.linearize(poses0, disps0, intr, target, weight,
+                                  jnp.asarray(ii), jnp.asarray(jj),
+                                  factored=False, **kw)
+        assert tf.Ji is None and tu.Ji is not None
+        bf = edge_terms.pose_blocks(tf) + edge_terms.depth_blocks(tf)
+        bu = edge_terms.pose_blocks(tu) + edge_terms.depth_blocks(tu)
+        for a, b in zip(bf, bu):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
