@@ -144,15 +144,19 @@ def pose_blocks(t: EdgeTerms, precision: str = None):
     return Hii, Hij, Hji, Hjj, vi, vj
 
 
-def depth_blocks(t: EdgeTerms):
+def depth_blocks(t: EdgeTerms, precision: str = None):
     """Per-edge depth-coupled terms (droid_kernels.cu:328-384).
 
     Ei/Ej [E,6,HW] pose-depth coupling (pose-weighted), Cz [E,HW] depth diag,
     bz [E,HW] depth RHS (depth-weighted). Factored form: Ei = -Ad^T Ej.
     """
+    prec = precision or ba_precision()
     Ej = jnp.einsum("ech,ecdh,ech->edh", t.w_pose, t.Jj, t.Jz)
     if t.Ji is None:
-        Ei = -jnp.einsum("eda,edh->eah", t.Adj, Ej)
+        # true [E,6,6]@[E,6,HW] batched matmul: without an explicit precision
+        # the TPU default drops f32 inputs to bf16 passes in the pose-depth
+        # coupling, breaking the "exact up to f32 reassociation" contract
+        Ei = -jnp.einsum("eda,edh->eah", t.Adj, Ej, precision=prec)
     else:
         Ei = jnp.einsum("ech,ecdh,ech->edh", t.w_pose, t.Ji, t.Jz)
     Cz = jnp.einsum("ech,ech,ech->eh", t.w_depth, t.Jz, t.Jz)

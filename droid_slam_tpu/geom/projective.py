@@ -163,6 +163,35 @@ def projective_transform(poses, disps, intrinsics, ii, jj, jacobian=False,
     return coords, valid, (Ji, Jj, Jz)
 
 
+def projmap(poses, disps, intrinsics, ii, jj):
+    """Reprojection coordinate maps + validity per edge
+    (droid_kernels.cu:436-525, exported as ``droid_backends.projmap`` at
+    src/droid.cpp:252; unused by the pipeline — kept for op-inventory
+    completeness).
+
+    Returns (coords [E,H,W,2], valid [E,H,W,1]). Semantics match the kernel
+    exactly: Gij = poses[jj] * poses[ii]^-1 with NO stereo override, coords
+    fall back to the identity pixel grid where transformed z <= 0.01 (the
+    kernel leaves its grid initialization untouched there), the division is
+    by the true z (not the clamped-z ``proj`` path), and valid requires
+    z > 0.25 (the CUDA MIN_DEPTH)."""
+    ht, wd = disps.shape[-2:]
+    X0 = iproj(disps[ii], intrinsics[ii])
+    Gij = se3.relative(poses[ii], poses[jj])
+    X1 = se3.act(Gij[..., None, None, :], X0)
+    x, y, z = X1[..., 0], X1[..., 1], X1[..., 2]
+
+    fx, fy, cx, cy = jnp.moveaxis(intrinsics[jj][..., None, None, :], -1, 0)
+    front = z > 0.01
+    d = 1.0 / jnp.where(front, z, jnp.ones_like(z))
+    grid = coords_grid(ht, wd, dtype=disps.dtype)
+    u = jnp.where(front, fx * (x * d) + cx, grid[..., 0])
+    v = jnp.where(front, fy * (y * d) + cy, grid[..., 1])
+    coords = jnp.stack([u, v], axis=-1)
+    valid = (z > MIN_DEPTH_BA)[..., None].astype(coords.dtype)
+    return coords, valid
+
+
 def induced_flow(poses, disps, intrinsics, ii, jj):
     """Optical flow induced by camera motion (projective_ops.py:201-214)."""
     ht, wd = disps.shape[-2:]

@@ -110,3 +110,35 @@ def test_frame_distance_properties(rng):
                                    jnp.asarray([1]), beta=0.5))
     # flow = fx * 0.2 * disp = 24*0.2 = 4.8 for every pixel, both warps equal
     np.testing.assert_allclose(dd, 4.8, atol=1e-3)
+
+
+def test_projmap_matches_projective_transform(rng):
+    """projmap (droid_kernels.cu:436-525) agrees with projective_transform
+    where depths are comfortably in front of both cameras, falls back to the
+    identity grid behind z=0.01, and gates valid at z > 0.25."""
+    n, h, w = 4, 12, 16
+    poses = se3.exp(jnp.asarray(
+        0.05 * rng.normal(size=(n, 6)).astype(np.float32)))
+    disps = jnp.asarray(
+        (0.8 + 0.4 * rng.random(size=(n, h, w))).astype(np.float32))
+    intr = jnp.broadcast_to(
+        jnp.asarray([20.0, 20.0, w / 2, h / 2], jnp.float32), (n, 4))
+    ii = jnp.asarray([0, 1, 2])
+    jj = jnp.asarray([1, 2, 3])
+
+    coords, valid = pops.projmap(poses, disps, intr, ii, jj)
+    ref_coords, ref_valid, _ = pops.projective_transform(
+        poses, disps, intr, ii, jj)
+    assert np.asarray(valid).min() == 1.0  # all in front here
+    np.testing.assert_allclose(np.asarray(coords), np.asarray(ref_coords),
+                               atol=1e-4)
+
+    # a pose far behind the scene: grid fallback + invalid
+    # poses map world->camera: z_cam = z_world + t_z, so t_z = -50 puts
+    # every point far behind camera j=1
+    far = poses.at[1, 2].set(-50.0)
+    coords2, valid2 = pops.projmap(far, disps, intr, jnp.asarray([0]),
+                                   jnp.asarray([1]))
+    grid = np.asarray(pops.coords_grid(h, w))
+    assert np.asarray(valid2).max() == 0.0
+    np.testing.assert_allclose(np.asarray(coords2)[0], grid, atol=1e-6)

@@ -99,6 +99,13 @@ def test_adjT_definition(rng):
     expect = np.einsum("nji,nj->ni", Ad, a)
     out = np.asarray(se3.adjT(g, jnp.asarray(a)))
     np.testing.assert_allclose(out, expect, atol=1e-5)
+    # adj_matrix must agree with the inline Ad construction AND satisfy
+    # adjT(g, a) == a @ Ad(g) (the identity its docstring claims is pinned
+    # here; consumed by the factored BA linearization, ba/edge_terms.py)
+    Ad_fn = np.asarray(se3.adj_matrix(jnp.asarray(g)))
+    np.testing.assert_allclose(Ad_fn, Ad, atol=1e-5)
+    np.testing.assert_allclose(
+        out, np.einsum("ni,nij->nj", a, Ad_fn), atol=1e-5)
 
 
 def test_relative_maps_points(rng):

@@ -169,3 +169,54 @@ def test_update_module_runs(rng):
     assert upmask.shape == (2, h, w, 576)
     assert np.all(np.asarray(weight) >= 0) and np.all(np.asarray(weight) <= 1)
     assert np.all(np.asarray(eta) >= 0)
+
+
+def test_conv_gru_pre_matches_monolithic(rng):
+    """The hoisted-context path (gru_context_pre + 192ch conv_gru) must match
+    the monolithic 320ch-input conv_gru: conv(concat(net,inp,c,f), W) ==
+    conv(net,Wn)+conv(inp,Wi)+conv(cf,Wcf). Split partial sums reassociate
+    the accumulation, so exact only up to f32 rounding (ADVICE r2)."""
+    params = nets.init_params(jax.random.PRNGKey(1))
+    E, h, w = 3, 8, 8
+    net = jnp.asarray(rng.normal(size=(E, h, w, 128)).astype(np.float32))
+    inp = jnp.asarray(rng.normal(size=(E, h, w, 128)).astype(np.float32))
+    cf = jnp.asarray(rng.normal(size=(E, h, w, 192)).astype(np.float32))
+
+    mono = nets.conv_gru(params, net, jnp.concatenate([inp, cf], axis=-1))
+    pre = nets.gru_context_pre(params, inp)
+    split = nets.conv_gru(params, net, cf, pre=pre)
+    np.testing.assert_allclose(np.asarray(split), np.asarray(mono),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_update_module_pre_and_deferred_upmask(rng):
+    """update_module(pre=..., compute_upmask=False) + a post-hoc graph_agg on
+    the returned net must reproduce the in-loop eta/upmask of the plain call
+    (the frontend's deferred-upmask trick, state/graph.py final_upmask)."""
+    params = nets.init_params(jax.random.PRNGKey(2))
+    E, h, w = 4, 8, 8
+    net = jnp.asarray(rng.normal(size=(E, h, w, 128)).astype(np.float32))
+    inp = jnp.asarray(rng.normal(size=(E, h, w, 128)).astype(np.float32))
+    corr = jnp.asarray(rng.normal(size=(E, h, w, 196)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(size=(E, h, w, 4)).astype(np.float32))
+    ii = jnp.asarray([0, 1, 1, 2])
+
+    net_a, d_a, w_a, eta_a, up_a = nets.update_module(
+        params, net, inp, corr, flow, ii=ii, num_frames=3)
+
+    pre = nets.gru_context_pre(params, inp)
+    net_b, d_b, w_b, eta_b, up_b = nets.update_module(
+        params, net, inp, corr, flow, ii=ii, num_frames=3, pre=pre,
+        compute_upmask=False)
+    assert up_b is None
+    np.testing.assert_allclose(np.asarray(net_b), np.asarray(net_a),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_a),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(w_b), np.asarray(w_a),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(eta_b), np.asarray(eta_a),
+                               atol=5e-6, rtol=1e-4)
+    eta_c, up_c = nets.graph_agg(params, net_b, ii, 3)
+    np.testing.assert_allclose(np.asarray(up_c), np.asarray(up_a),
+                               atol=5e-5, rtol=1e-4)

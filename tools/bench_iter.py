@@ -169,9 +169,10 @@ def bench_ba(edges=240, precision=None, factored=True):
         poses, disps = state
         return ba_inf.ba_iterations(shape, poses, disps, sens, damp, intr,
                                     tgt, wgt, plan_dev, 1e-4, 0.1)
+    # NOTE: ba_iterations always linearizes factored=True; the `factored`
+    # flag only drives the linearize+blocks sub-benchmark below.
     timeit(f"ba 2GN e{shape.edges} w{NW} r{shape.rmax} "
-           f"[{precision or edge_terms.ba_precision()},"
-           f" factored={factored}]",
+           f"[{precision or edge_terms.ba_precision()}]",
            step, (poses, disps), sens, damp, intr, tgt, wgt, plan_dev)
 
     @jax.jit
