@@ -122,8 +122,11 @@ def main():
     use_async = "--async" in sys.argv
     H, W = 320, 512
     # warmup must cover every compile path (init, steady updates, the first
-    # age-based evictions at frame ~21)
-    n_warm, n_meas = 26, 24
+    # age-based evictions at frame ~21). Measurement runs as MULTIPLE
+    # independent windows (VERDICT r2: single-window numbers swing ~40% on
+    # tunnel weather); the JSON value is the MEDIAN window fps, with
+    # min/max/spread reported so outlier windows are visible in the record.
+    n_warm, n_windows, n_meas = 26, 3, 12
 
     cfg = DroidConfig(buffer=64, image_size=(H, W), warmup=8,
                       filter_thresh=-1.0,      # admit every frame
@@ -158,27 +161,39 @@ def main():
     jax.block_until_ready(droid.video.buf.poses)
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    tic = time.perf_counter()
-    for _ in range(n_meas):
-        tif = time.perf_counter()
-        droid.track(float(t), frame(t), intrinsics=intr)
-        if trace:
-            jax.block_until_ready(droid.video.buf.poses)
-            print(f"meas frame {t}: "
-                  f"{(time.perf_counter() - tif) * 1000:.0f} ms", flush=True)
-        t += 1
-    jax.block_until_ready(droid.video.buf.poses)
-    dt = time.perf_counter() - tic
+    window_fps = []
+    for _w in range(n_windows):
+        tic = time.perf_counter()
+        for _ in range(n_meas):
+            tif = time.perf_counter()
+            droid.track(float(t), frame(t), intrinsics=intr)
+            if trace:
+                jax.block_until_ready(droid.video.buf.poses)
+                print(f"meas frame {t}: "
+                      f"{(time.perf_counter() - tif) * 1000:.0f} ms",
+                      flush=True)
+            t += 1
+        jax.block_until_ready(droid.video.buf.poses)
+        window_fps.append(n_meas / (time.perf_counter() - tic))
     if profile_dir:
         jax.profiler.stop_trace()
 
-    fps = n_meas / dt
+    window_fps.sort()
+    fps = float(np.median(window_fps))
+    spread = (window_fps[-1] - window_fps[0]) / fps
+    if spread > 0.15:
+        import sys as _s
+        print(f"WARNING: bench window spread {spread:.1%} > 15% — tunnel "
+              f"variance; windows={['%.2f' % f for f in window_fps]}",
+              file=_s.stderr, flush=True)
     result = {
         "metric": ("keyframe_fps_euroc_mono_320x512_async" if use_async
                    else "keyframe_fps_euroc_mono_320x512"),
         "value": round(fps, 3),
         "unit": "keyframes/s",
         "vs_baseline": round(fps / 10.0, 3),
+        "windows": [round(f, 3) for f in window_fps],
+        "spread": round(spread, 4),
     }
 
     # speculation health (slam/droid.py speculative dispatch): rates of
@@ -186,7 +201,7 @@ def main():
     # every tracked frame. The strict-vs-speculative trajectory delta is
     # pinned bit-exact by tests/test_spec_frame.py (incl. keyframe-removal
     # events), so nonzero rates here cost only re-dispatch time, not ATE.
-    n_frames = n_warm + n_meas
+    n_frames = n_warm + n_windows * n_meas
     result["spec_mis_rate"] = round(
         getattr(droid, "_spec_mis", 0) / n_frames, 4)
     result["spec_dist_miss_rate"] = round(

@@ -39,6 +39,13 @@ ALPHA = 0.05  # depth-sensor prior weight (droid_kernels.cu:1405)
 _SCHUR_CHUNK = 8
 
 
+def _evt_quirk() -> bool:
+    """Whether to reproduce the reference's EvT6x1 `idx <= 0` skip
+    (droid_kernels.cu:1116-1117) in the depth back-substitution."""
+    import os
+    return os.environ.get("DROID_REF_EVT_QUIRK", "1") != "0"
+
+
 class BAShape(NamedTuple):
     """Static bucket sizes — the jit compile key."""
     edges: int
@@ -308,7 +315,13 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
         dx = _solve_pose_system(M, rhs, p_valid, lm, ep).reshape(NW, 6)
 
         # ---- back-substitute depth updates (EvT + accum, cu:1417-1426) ---
-        dx_row = dx[jnp.clip(rp, 0)] * rp_ok[:, None]
+        # EvT6x1 skips rows whose solve-local pose index is exactly 0
+        # (`idx <= 0`, droid_kernels.cu:1116-1117): pose t0's contribution
+        # never reaches dz. Reproduced by default so inference trajectories
+        # match the reference bit-for-bit (tests/test_golden_pipeline.py);
+        # DROID_REF_EVT_QUIRK=0 restores the complete back-substitution.
+        rp_bs = (rp_ok & (rp != 0)) if _evt_quirk() else rp_ok
+        dx_row = dx[jnp.clip(rp, 0)] * rp_bs[:, None]
         dw_rows = jnp.einsum("rdh,rd->rh", Erows, dx_row, precision=prec)
         acc = jax.ops.segment_sum(dw_rows, plan.row_depth, num_segments=NW)
         dz = Q * (wz - acc)

@@ -104,7 +104,12 @@ def reference_step(poses, disps, disps_sens, damping, intr4, target, weight,
     M += np.diag(ep + lm * np.diag(M))
     rhs = v - Emat @ (Q.reshape(-1) * wz.reshape(-1))
     dx = np.linalg.solve(M, rhs).reshape(P, 6)
-    dz = Q.reshape(-1) * (wz.reshape(-1) - Emat.T @ dx.reshape(-1))
+    # EvT6x1 quirk: pose t0 (solve-local index 0) never reaches dz
+    # (droid_kernels.cu:1116-1117; reproduced by ba/inference.py default)
+    dx_bs = dx.copy()
+    if inference._evt_quirk():
+        dx_bs[0] = 0.0
+    dz = Q.reshape(-1) * (wz.reshape(-1) - Emat.T @ dx_bs.reshape(-1))
 
     poses_out = np.asarray(poses).copy()
     poses_out[t0:t1] = np.asarray(se3.retr(poses[t0:t1],
