@@ -194,14 +194,25 @@ def update_module(params, net, inp, corr, flow=None, ii=None, num_frames=None,
     # one such op instead of two). Zero cross-blocks keep the math exact.
     wd0, bd0 = _merged_w(params, ["update.delta.0", "update.weight.0"])
     ds = jax.nn.relu(_conv_nobias(jnp.asarray(net), wd0) + bd0.astype(net.dtype))
+    # barrier: without it XLA fuses this 36-GFLOP conv backwards into the
+    # 4-channel head output's elementwise fusion and runs the whole chain
+    # on the VPU at ~16 TFLOP/s (profiled 3.8 ms/frame); materializing ds
+    # costs one 63 MB round trip and keeps the conv on the MXU
+    ds = jax.lax.optimization_barrier(ds)
     w2 = params["update.weight.2.weight"]
     d2 = params["update.delta.2.weight"]
-    blk = jnp.zeros(d2.shape[:2] + (256, 4), d2.dtype)
-    blk = blk.at[:, :, :128, :2].set(d2).at[:, :, 128:, 2:].set(w2)
+    # out-channels padded 4 -> 8: a 4-lane NHWC conv output forces XLA
+    # into a pathological minor-batch T(4,128) VPU fusion (measured 125 ms
+    # standalone / 2.2 ms in-program for a 0.25-GFLOP op); at 8 channels it
+    # lowers to a normal MXU conv (0.15 ms) and the pad columns are sliced
+    # off before the heads
+    blk = jnp.zeros(d2.shape[:2] + (256, 8), d2.dtype)
+    blk = blk.at[:, :, :128, :2].set(d2).at[:, :, 128:, 2:4].set(w2)
+    bias4 = jnp.concatenate([params["update.delta.2.bias"],
+                             params["update.weight.2.bias"]])
+
     head = gradient_clip(
-        _conv_nobias(ds, blk)
-        + jnp.concatenate([params["update.delta.2.bias"],
-                           params["update.weight.2.bias"]]).astype(net.dtype))
+        _conv_nobias(ds, blk)[..., :4] + bias4.astype(net.dtype))
     delta = head[..., :2]
     weight = jax.nn.sigmoid(head[..., 2:])
 
