@@ -39,6 +39,19 @@ ALPHA = 0.05  # depth-sensor prior weight (droid_kernels.cu:1405)
 _SCHUR_CHUNK = 8
 
 
+def _schur_assembly() -> str:
+    """Schur S-matrix assembly formulation: "scatter" (segment-sum, default)
+    or "proj" (scatter-free one-hot contraction).
+
+    Measured on v5e (round 3): scatter 17.8 kf/s end-to-end vs proj 15.1-15.7
+    (both a batched P^T G P einsum and a flat [2048,1024]x[2048,36] one-hot
+    matmul lose — XLA's scatter emitter beats any dense reformulation at
+    these sizes, unlike the corr lookup where the dense tent wins). Kept for
+    A/B because the tradeoff may flip at other window/rmax buckets."""
+    import os
+    return os.environ.get("DROID_SCHUR_ASSEMBLY", "scatter")
+
+
 def _evt_quirk() -> bool:
     """Whether to reproduce the reference's EvT6x1 `idx <= 0` skip
     (droid_kernels.cu:1116-1117) in the depth back-substitution."""
@@ -282,9 +295,15 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
         rp_ok = rp >= 0
 
         # ---- S = E Q E^T accumulated per depth frame, chunked ------------
-        S = jnp.zeros((NW * NW + 1, 6, 6), jnp.float32)
+        # Assembly into the [NW,NW] pose grid: segment-sum scatter by
+        # default (see _schur_assembly for the measured A/B vs the
+        # scatter-free one-hot contraction kept behind
+        # DROID_SCHUR_ASSEMBLY=proj).
+        use_proj = _schur_assembly() == "proj"
         qw = Q * wz
         prec = edge_terms.ba_precision()
+        S = (jnp.zeros((NW, NW, 6, 6), jnp.float32) if use_proj
+             else jnp.zeros((NW * NW + 1, 6, 6), jnp.float32))
         for c0 in range(0, NW, _SCHUR_CHUNK):
             idx = plan.rk_idx[c0:c0 + _SCHUR_CHUNK]          # [CK,RMAX]
             mask = idx >= 0
@@ -295,15 +314,27 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
                            Fq.reshape(CK, RMAX * 6, hw),
                            F.reshape(CK, RMAX * 6, hw),
                            precision=prec)
-            G = G.reshape(CK, RMAX, 6, RMAX, 6).transpose(0, 1, 3, 2, 4)
             p = jnp.where(mask, rp[jnp.clip(idx, 0)], -1)    # [CK,RMAX]
+            G = G.reshape(CK, RMAX, 6, RMAX, 6).transpose(0, 1, 3, 2, 4)
             p1 = p[:, :, None]
             p2 = p[:, None, :]
             bins = jnp.where((p1 >= 0) & (p2 >= 0), p1 * NW + p2, NW * NW)
+            if use_proj:
+                # one flat MXU contraction instead of a 6x6-block scatter:
+                # out[s,u] = sum_e onehot[e,s] * G[e,u]
+                oh = (bins.reshape(-1)[:, None]
+                      == jnp.arange(NW * NW)[None, :]).astype(jnp.float32)
+                S = S + jax.lax.dot_general(
+                    oh, G.reshape(CK * RMAX * RMAX, 36),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(NW, NW, 6, 6)
+                continue
             S = S + jax.ops.segment_sum(
                 G.reshape(CK * RMAX * RMAX, 6, 6),
                 bins.reshape(-1), num_segments=NW * NW + 1)
-        S = S[:-1].reshape(NW, NW, 6, 6)
+        if not use_proj:
+            S = S[:-1].reshape(NW, NW, 6, 6)
 
         # ---- S_rhs = E Q w per pose --------------------------------------
         dwr = jnp.einsum("rdh,rh->rd", Erows, qw[plan.row_depth],

@@ -178,7 +178,22 @@ def update_module(params, net, inp, corr, flow=None, ii=None, num_frames=None,
     if flow is None:
         flow = jnp.zeros((E, h, w, 4), net.dtype)
 
-    c = jax.nn.relu(conv2d(params, "update.corr_encoder.0", corr))
+    if corr.ndim == 3:
+        # channel-major corr [E, C, HW] (pixels in lanes, the corr lookup's
+        # natural layout — state/graph.py feeds this under lookup_impl
+        # "dense_cm"). The 1x1 encoder conv is a plain matmul, and feeding
+        # it channel-major absorbs the layout transpose into the MXU
+        # contraction: the ~1.4 ms/frame of [E,h,w,49] relayout copies the
+        # NHWC boundary otherwise costs disappear (profiled on v5e).
+        w0 = params["update.corr_encoder.0.weight"]
+        w0 = w0.reshape(w0.shape[2], w0.shape[3]).astype(corr.dtype)
+        b0 = params["update.corr_encoder.0.bias"].astype(corr.dtype)
+        c = jax.nn.relu(jnp.einsum("ecp,cd->epd", corr, w0,
+                                   preferred_element_type=jnp.float32)
+                        .astype(corr.dtype) + b0)
+        c = c.reshape(E, h, w, -1)
+    else:
+        c = jax.nn.relu(conv2d(params, "update.corr_encoder.0", corr))
     c = jax.nn.relu(conv2d(params, "update.corr_encoder.2", c))
     f = jax.nn.relu(conv2d(params, "update.flow_encoder.0", flow))
     f = jax.nn.relu(conv2d(params, "update.flow_encoder.2", f))

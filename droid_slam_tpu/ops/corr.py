@@ -287,6 +287,104 @@ def _lookup_level_onehot(vol: jnp.ndarray, coords: jnp.ndarray, radius: int):
     return out.transpose(0, 1, 3, 2).reshape(E, HW, rd * rd)
 
 
+# ---------------------------------------------------------------------------
+# Channel-major ("cm") volume layout: pixels in lanes
+# ---------------------------------------------------------------------------
+#
+# The standard [E,HW,h2,w2] layout puts w2 in the minor (lane) dimension:
+# 64/32/16/8 lanes of the TPU's 128 are filled, so every full-volume pass of
+# the tent lookup runs at 50%/25%/12%/6% of the VPU's lane width and of HBM
+# tile efficiency (profiled: the L0 x-pass reads 630 MB at ~53% of peak BW,
+# L1 at ~27%). The cm layout [E,h2,w2,HW] keeps HW = 2560 in lanes — full
+# 128-lane tiles at EVERY pyramid level — and the tent contractions reduce
+# over major axes (plain row accumulation, no cross-lane work). Taps come out
+# channel-major [E,(2r+1)^2,HW], which the 1x1 corr-encoder conv consumes
+# directly as a lane-major matmul (models/nets.py).
+
+def build_volume_cm(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs correlation in channel-major layout [E,h2,w2,h1*w1]
+    (same math as build_volume, modules/corr.py:63-71)."""
+    E, h1, w1, C = fmap1.shape
+    h2, w2 = fmap2.shape[1:3]
+    corr = jnp.einsum("ebc,eac->eba",
+                      fmap2.reshape(E, h2 * w2, C).astype(jnp.float32) / 4.0,
+                      fmap1.reshape(E, h1 * w1, C).astype(jnp.float32) / 4.0,
+                      preferred_element_type=jnp.float32)
+    out_dtype = fmap1.dtype if fmap1.dtype == jnp.bfloat16 else jnp.float32
+    return corr.reshape(E, h2, w2, h1 * w1).astype(out_dtype)
+
+
+def avg_pool2_cm(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/stride-2 average pooling on dims [..., h, w, P] (h/w NOT minor;
+    the strided slices touch only major axes, so no relayout copies)."""
+    h, w = x.shape[-3] // 2, x.shape[-2] // 2
+    x = x[..., :2 * h, :2 * w, :]
+    s = ((x[..., 0::2, 0::2, :] + x[..., 0::2, 1::2, :])
+         + (x[..., 1::2, 0::2, :] + x[..., 1::2, 1::2, :]))
+    return s * jnp.asarray(0.25, x.dtype)
+
+
+def build_pyramid_cm(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                     num_levels: int = NUM_LEVELS):
+    """Channel-major volume pyramid [[E,h2/2^l,w2/2^l,HW], ...]."""
+    vol = build_volume_cm(fmap1, fmap2)
+    pyramid = [vol]
+    for _ in range(num_levels - 1):
+        vol = avg_pool2_cm(vol)
+        pyramid.append(vol)
+    return pyramid
+
+
+def _lookup_level_dense_cm(vol: jnp.ndarray, coords: jnp.ndarray, radius: int,
+                           out_dtype=jnp.bfloat16):
+    """Tent-weight lookup on a channel-major volume level.
+
+    Same math as _lookup_level_dense (two separable tent contractions,
+    f32 accumulation, compute dtype = volume dtype), but with pixels in
+    lanes: both passes reduce over a major axis at full 128-lane width.
+
+    vol [E,h2,w2,P]; coords [E,P,2] at this level's scale.
+    Returns [E,(2r+1)^2,P], channel index c = a*(2r+1)+b (x-offset-major,
+    matching _lookup_level_dense's output order).
+    """
+    E, h2, w2, P = vol.shape
+    r = radius
+    rd = 2 * r + 1
+
+    x = coords[..., 0]  # [E,P]
+    y = coords[..., 1]
+    off = jnp.arange(rd, dtype=jnp.float32)
+    cdt = vol.dtype if vol.dtype == jnp.bfloat16 else jnp.float32
+
+    # x-step: cols[e,h,a,p] = sum_w T(x(p)+a-r-w) vol[e,h,w,p]
+    xpos = x[:, None, None, :] + (off - r)[None, :, None, None]  # [E,rd,1,P]
+    wx = jnp.clip(1.0 - jnp.abs(
+        xpos - jnp.arange(w2, dtype=jnp.float32)[None, None, :, None]),
+        0.0, 1.0).astype(cdt)                                    # [E,rd,w2,P]
+    cols = jnp.sum(vol[:, :, None, :, :] * wx[:, None, :, :, :],
+                   axis=3, dtype=jnp.float32).astype(cdt)        # [E,h2,rd,P]
+    # y-step: out[e,a,b,p] = sum_h T(y(p)+b-r-h) cols[e,h,a,p]
+    ypos = y[:, None, None, :] + (off - r)[None, None, :, None]  # [E,1,rd,P]
+    wy = jnp.clip(1.0 - jnp.abs(
+        ypos - jnp.arange(h2, dtype=jnp.float32)[None, :, None, None]),
+        0.0, 1.0).astype(cdt)                                    # [E,h2,rd,P]
+    out = jnp.sum(cols[:, :, :, None, :] * wy[:, :, None, :, :],
+                  axis=1, dtype=jnp.float32)                     # [E,a,b,P]
+    return out.astype(out_dtype).reshape(E, rd * rd, P)
+
+
+def lookup_pyramid_cm(pyramid_cm, cflat: jnp.ndarray, radius: int = RADIUS,
+                      out_dtype=jnp.bfloat16):
+    """Sample all channel-major levels at level-0 coords [E,P,2].
+
+    Returns [E, L*(2r+1)^2, P] with the reference's level-major,
+    x-offset-major channel order (modules/corr.py:46-50)."""
+    outs = [_lookup_level_dense_cm(vol, cflat / (2.0 ** lvl), radius,
+                                   out_dtype=out_dtype)
+            for lvl, vol in enumerate(pyramid_cm)]
+    return jnp.concatenate(outs, axis=1)
+
+
 def _lookup_level_impl(vol, coords, radius, impl="auto",
                        out_dtype=jnp.float32):
     if impl == "auto":

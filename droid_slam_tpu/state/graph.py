@@ -104,15 +104,26 @@ def _update_core_traced(params, poses, disps, intrinsics, inps_buf, pyramid,
         else:
             wslots = jnp.where(valid, slots, EB + 1)  # drop invalid edges
             c_slot = jnp.zeros((EB, hw, 2), cflat.dtype).at[wslots].set(cflat)
-        outs = []
-        for lvl, vol in enumerate(pyramid):
-            outs.append(corr_ops._lookup_level_impl(
-                vol, c_slot / (2.0 ** lvl), corr_ops.RADIUS, lookup_impl,
-                out_dtype=jnp.bfloat16))
-        corr = jnp.concatenate(outs, axis=-1)
-        if not slot_native:
-            corr = corr[slots]
-        corr = corr.reshape(EA, h, w, -1)
+        if lookup_impl == "dense_cm":
+            # channel-major pyramid [EB, hl, wl, HW]: taps come out
+            # [EB, 196, HW] and stay channel-major into the corr encoder
+            # (models/nets.py absorbs the NHWC transpose into the 1x1
+            # encoder matmul)
+            corr = corr_ops.lookup_pyramid_cm(pyramid, c_slot,
+                                              corr_ops.RADIUS,
+                                              out_dtype=jnp.bfloat16)
+            if not slot_native:
+                corr = corr[slots]
+        else:
+            outs = []
+            for lvl, vol in enumerate(pyramid):
+                outs.append(corr_ops._lookup_level_impl(
+                    vol, c_slot / (2.0 ** lvl), corr_ops.RADIUS, lookup_impl,
+                    out_dtype=jnp.bfloat16))
+            corr = jnp.concatenate(outs, axis=-1)
+            if not slot_native:
+                corr = corr[slots]
+            corr = corr.reshape(EA, h, w, -1)
 
     cdt = jnp.bfloat16
     # padded edge slots must not contaminate the per-frame aggregation:
@@ -532,10 +543,11 @@ def _fused_lowmem_step(params, poses, disps, disps_sens, damping, intrinsics,
     return poses, disps, damping, nets_e, target, weight, disps_up
 
 
-@jax.jit
-def _build_edge_volumes(fmap1, fmap2):
+@partial(jax.jit, static_argnames=("cm",))
+def _build_edge_volumes(fmap1, fmap2, cm: bool = False):
     """4-level corr pyramid for a batch of new edges (modules/corr.py:23-38)."""
-    pyr = corr_ops.build_pyramid(fmap1, fmap2, corr_ops.NUM_LEVELS)
+    build = corr_ops.build_pyramid_cm if cm else corr_ops.build_pyramid
+    pyr = build(fmap1, fmap2, corr_ops.NUM_LEVELS)
     return tuple(p.astype(jnp.bfloat16) for p in pyr)
 
 
@@ -558,7 +570,11 @@ def _add_edges_traced(poses, disps, intrinsics, nets_buf, fmaps, nets_e,
     if with_volumes:
         f1 = fmaps[ii, 0]
         f2 = fmaps[jj, cam2]
-        vols = corr_ops.build_pyramid(f1, f2, corr_ops.NUM_LEVELS)
+        # layout inferred from the slot buffers: [cap,HW,h,w] standard vs
+        # [cap,h,w,HW] channel-major (lookup_impl "dense_cm")
+        cm = pyramid[0].shape[-1] == hw
+        build = corr_ops.build_pyramid_cm if cm else corr_ops.build_pyramid
+        vols = build(f1, f2, corr_ops.NUM_LEVELS)
         pyramid = tuple(p.at[slots].set(v.astype(p.dtype))
                         for p, v in zip(pyramid, vols))
     return nets_e, target, weight, pyramid
@@ -611,15 +627,16 @@ class FactorGraph:
         self.corr_impl = corr_impl
         self.upsample = upsample
         # lookup formulation: fused VPU tent multiply-reduce on accelerators
-        # (ops/corr.py::_lookup_level_dense — measured 2-3 ms/iteration on
-        # v5e vs ~25 ms for batched-tiny-matmul tent and ~90 ms for gather;
-        # the Pallas kernel is preferable but this deployment's remote-AOT
-        # path cannot compile Mosaic kernels); XLA gather on CPU.
-        # Overridable for benchmarking via DROID_LOOKUP_IMPL.
+        # (ops/corr.py — measured ~2.9 ms/lookup on v5e vs ~25 ms for
+        # batched-tiny-matmul tent and ~90 ms for gather; near the VPU FMA
+        # roofline, see ROOFLINE.md). "dense_cm" stores the volumes
+        # channel-major and feeds the corr encoder channel-major, absorbing
+        # the NHWC boundary transpose into the encoder matmul (+0.9 kf/s);
+        # XLA gather on CPU. Overridable via DROID_LOOKUP_IMPL.
         import os
         self.lookup_impl = os.environ.get(
             "DROID_LOOKUP_IMPL",
-            "dense" if jax.default_backend() != "cpu" else "gather")
+            "dense_cm" if jax.default_backend() != "cpu" else "gather")
         # compile-stability knobs: the fused update is keyed on these, so
         # they must NOT wobble frame-to-frame (each recompile costs ~30 s
         # over the deployment's remote-compile tunnel)
@@ -658,9 +675,15 @@ class FactorGraph:
 
         if corr_impl == "volume":
             h2, w2 = self.h, self.w
-            self.pyramid = tuple(
-                jnp.zeros((capacity, hw, h2 // 2 ** l, w2 // 2 ** l),
-                          jnp.bfloat16) for l in range(corr_ops.NUM_LEVELS))
+            if self.lookup_impl == "dense_cm":
+                # channel-major layout: pixels in lanes (see ops/corr.py)
+                self.pyramid = tuple(
+                    jnp.zeros((capacity, h2 // 2 ** l, w2 // 2 ** l, hw),
+                              jnp.bfloat16) for l in range(corr_ops.NUM_LEVELS))
+            else:
+                self.pyramid = tuple(
+                    jnp.zeros((capacity, hw, h2 // 2 ** l, w2 // 2 ** l),
+                              jnp.bfloat16) for l in range(corr_ops.NUM_LEVELS))
         else:
             self.pyramid = None
 

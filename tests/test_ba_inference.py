@@ -230,3 +230,39 @@ def test_factored_blocks_match_unfactored(rng):
         for a, b in zip(bf, bu):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=2e-5)
+
+
+def test_schur_assembly_proj_matches_scatter(rng, monkeypatch):
+    """The scatter-free one-hot Schur assembly (DROID_SCHUR_ASSEMBLY=proj)
+    is bit-identical to the default segment-sum formulation."""
+    import os
+    import jax
+
+    B, h, w = 12, 8, 10
+    poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32), (B, 1))
+    poses[:, :3] += 0.1 * rng.normal(size=(B, 3)).astype(np.float32)
+    disps = (1.0 + 0.2 * rng.uniform(size=(B, h, w))).astype(np.float32)
+    disps_sens = np.zeros((B, h, w), np.float32)
+    damping = 0.1 * np.ones((B, h, w), np.float32)
+    intr = np.array([50., 50., w / 2, h / 2], np.float32)
+    E, NW = 24, 8
+    ii = rng.integers(0, NW, E)
+    jj = (ii + 1 + rng.integers(0, 3, E)) % NW
+    target = (rng.uniform(size=(E, 2, h * w))
+              * np.array([w, h], np.float64)[None, :, None]).astype(np.float32)
+    weight = rng.uniform(size=(E, 2, h * w)).astype(np.float32)
+
+    shape, plan = inference.build_plan(ii, jj, 1, NW, iters=2)
+    pad = ((0, shape.edges - E), (0, 0), (0, 0))
+    args = (jnp.asarray(poses), jnp.asarray(disps), jnp.asarray(disps_sens),
+            jnp.asarray(damping), jnp.asarray(intr),
+            jnp.asarray(np.pad(target, pad)), jnp.asarray(np.pad(weight, pad)),
+            plan, jnp.asarray(1e-4), jnp.asarray(0.1))
+
+    outs = {}
+    for mode in ("scatter", "proj"):
+        monkeypatch.setenv("DROID_SCHUR_ASSEMBLY", mode)
+        fn = jax.jit(inference.ba_iterations, static_argnames=("shape",))
+        outs[mode] = jax.tree.map(np.asarray, fn(shape, *args))
+    np.testing.assert_array_equal(outs["proj"][0], outs["scatter"][0])
+    np.testing.assert_array_equal(outs["proj"][1], outs["scatter"][1])

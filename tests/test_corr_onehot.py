@@ -72,3 +72,40 @@ def test_onehot_pyramid_api(rng):
     a = np.asarray(corr.lookup_pyramid(pyr, coords, impl="onehot"))
     b = np.asarray(corr.lookup_pyramid(pyr, coords, impl="gather"))
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_dense_cm_matches_gather(rng):
+    """Channel-major lookup (pixels-in-lanes volume layout) vs gather."""
+    E, h, w = 3, 8, 16
+    HW = h * w
+    vol = rng.normal(size=(E, HW, h, w)).astype(np.float32)
+    vol_cm = jnp.asarray(vol.transpose(0, 2, 3, 1))
+    coords = (rng.uniform(size=(E, HW, 2)) *
+              np.array([w + 4, h + 4]) - 2).astype(np.float32)
+
+    out = np.asarray(corr._lookup_level_dense_cm(
+        vol_cm, jnp.asarray(coords), 3, out_dtype=jnp.float32))
+    expect = np.asarray(corr._lookup_level(jnp.asarray(vol),
+                                           jnp.asarray(coords), 3))
+    np.testing.assert_allclose(out.transpose(0, 2, 1), expect, atol=1e-4)
+
+
+def test_cm_pyramid_matches_std(rng):
+    """build_pyramid_cm levels == transposed build_pyramid levels, and the
+    full cm pyramid lookup equals the standard dense path bit-for-bit."""
+    E, h, w = 2, 8, 16
+    f1 = jnp.asarray(rng.normal(size=(E, h, w, 8)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(E, h, w, 8)).astype(np.float32))
+    pyr = corr.build_pyramid(f1, f2)
+    pyr_cm = corr.build_pyramid_cm(f1, f2)
+    for v, vc in zip(pyr, pyr_cm):
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(vc).transpose(0, 3, 1, 2))
+    coords = jnp.asarray((rng.uniform(size=(E, h * w, 2)) *
+                          np.array([w, h])).astype(np.float32))
+    a = np.asarray(corr.lookup_pyramid_cm(pyr_cm, coords,
+                                          out_dtype=jnp.float32))
+    b = np.concatenate(
+        [np.asarray(corr._lookup_level_dense(v, coords / (2.0 ** l), 3))
+         for l, v in enumerate(pyr)], axis=-1)
+    np.testing.assert_array_equal(a.transpose(0, 2, 1), b)

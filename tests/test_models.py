@@ -220,3 +220,23 @@ def test_update_module_pre_and_deferred_upmask(rng):
     eta_c, up_c = nets.graph_agg(params, net_b, ii, 3)
     np.testing.assert_allclose(np.asarray(up_c), np.asarray(up_a),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_update_module_channel_major_corr(rng):
+    """Channel-major corr [E,C,HW] (lookup_impl 'dense_cm', state/graph.py)
+    matches the NHWC corr path to matmul-rounding tolerance."""
+    params = nets.init_params(jax.random.PRNGKey(0))
+    E, h, w = 3, 8, 8
+    net = jnp.asarray(rng.normal(size=(E, h, w, 128)).astype(np.float32))
+    inp = jnp.asarray(rng.normal(size=(E, h, w, 128)).astype(np.float32))
+    corr = jnp.asarray(rng.normal(size=(E, h, w, 196)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(size=(E, h, w, 4)).astype(np.float32))
+    ii = jnp.asarray([0, 0, 1])
+
+    a = nets.update_module(params, net, inp, corr, flow, ii=ii, num_frames=2)
+    corr_cm = corr.reshape(E, h * w, 196).transpose(0, 2, 1)
+    b = nets.update_module(params, net, inp, corr_cm, flow, ii=ii,
+                           num_frames=2)
+    for x, y, nm in zip(a, b, ["net", "delta", "weight", "eta", "upmask"]):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-5,
+                                   rtol=1e-4, err_msg=nm)

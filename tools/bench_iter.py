@@ -101,6 +101,79 @@ def bench_corr(impls=("dense", "rows", "tent", "onehot")):
     timeit("corr lookup L0 only [dense]", l0, coords, pyr[0])
 
 
+def bench_corr_cm():
+    """Channel-major (pixels-in-lanes) lookup vs the standard dense path."""
+    rng, pyr, coords = make_data()
+    fm = jnp.asarray(rng.normal(size=(E, H8, W8, 128)).astype(np.float32) / 8,
+                     jnp.bfloat16)
+    pyr_cm = jax.jit(corr_ops.build_pyramid_cm)(fm, fm)
+
+    @jax.jit
+    def cm(c, pyr_cm):
+        out = corr_ops.lookup_pyramid_cm(pyr_cm, c, corr_ops.RADIUS)
+        return c + 1e-6 * jnp.mean(out.astype(jnp.float32))
+    timeit("corr lookup 4-lvl [cm, ch-major out]", cm, coords, pyr_cm)
+
+    @jax.jit
+    def cm_t(c, pyr_cm):
+        out = corr_ops.lookup_pyramid_cm(pyr_cm, c, corr_ops.RADIUS)
+        out = jnp.transpose(out, (0, 2, 1))  # [E,HW,196] standard layout
+        return c + 1e-6 * jnp.mean(out.astype(jnp.float32))
+    timeit("corr lookup 4-lvl [cm + transpose]", cm_t, coords, pyr_cm)
+
+    @jax.jit
+    def dense(c, pyr):
+        outs = [corr_ops._lookup_level_impl(v, c / (2.0 ** l),
+                                            corr_ops.RADIUS, "dense",
+                                            out_dtype=jnp.bfloat16)
+                for l, v in enumerate(pyr)]
+        out = jnp.concatenate(outs, axis=-1)
+        return c + 1e-6 * jnp.mean(out.astype(jnp.float32))
+    timeit("corr lookup 4-lvl [dense bf16 out]", dense, coords, pyr)
+
+    # full lookup -> corr-encoder chain: where the layout-boundary copies
+    # live in the real program (lookup output is pixels-in-lanes, the conv
+    # stack is channels-in-lanes; the 1x1 encoder matmul can absorb the
+    # transpose when fed channel-major)
+    w0 = jnp.asarray(rng.normal(size=(196, 128)).astype(np.float32) / 16,
+                     jnp.bfloat16)
+    b0 = jnp.zeros((128,), jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, 128, 128)).astype(np.float32) / 32,
+                     jnp.bfloat16)
+
+    @jax.jit
+    def chain_std(c, pyr, w0, b0, w1):
+        outs = [corr_ops._lookup_level_impl(v, c / (2.0 ** l),
+                                            corr_ops.RADIUS, "dense",
+                                            out_dtype=jnp.bfloat16)
+                for l, v in enumerate(pyr)]
+        corr = jnp.concatenate(outs, axis=-1).reshape(E, H8, W8, 196)
+        c0 = jax.nn.relu(jnp.einsum("ehwc,cd->ehwd", corr, w0) + b0)
+        c1 = jax.nn.relu(nets._conv_nobias(c0, w1))
+        return c + 1e-6 * jnp.mean(c1.astype(jnp.float32))
+    timeit("lookup+encoder chain [std]", chain_std, coords, pyr, w0, b0, w1)
+
+    @jax.jit
+    def chain_cm(c, pyr_cm, w0, b0, w1):
+        corr = corr_ops.lookup_pyramid_cm(pyr_cm, c, corr_ops.RADIUS)
+        c0 = jax.nn.relu(jnp.einsum("ecp,cd->epd", corr, w0) + b0)
+        c1 = jax.nn.relu(nets._conv_nobias(c0.reshape(E, H8, W8, 128), w1))
+        return c + 1e-6 * jnp.mean(c1.astype(jnp.float32))
+    timeit("lookup+encoder chain [cm]", chain_cm, coords, pyr_cm, w0, b0, w1)
+
+    @jax.jit
+    def build_std(f):
+        p = corr_ops.build_pyramid(f, f)
+        return f + 1e-6 * sum(jnp.mean(v.astype(jnp.float32)) for v in p)
+    timeit("volume build+pyramid [std]", build_std, fm)
+
+    @jax.jit
+    def build_cm(f):
+        p = corr_ops.build_pyramid_cm(f, f)
+        return f + 1e-6 * sum(jnp.mean(v.astype(jnp.float32)) for v in p)
+    timeit("volume build+pyramid [cm]", build_cm, fm)
+
+
 def bench_gru():
     rng = np.random.default_rng(1)
     params = nets.init_params(jax.random.PRNGKey(0))
@@ -199,16 +272,20 @@ def bench_ba(edges=240, precision=None, factored=True):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--corr", action="store_true")
+    ap.add_argument("--corrcm", action="store_true")
     ap.add_argument("--gru", action="store_true")
     ap.add_argument("--ba", action="store_true")
     ap.add_argument("--reproject", action="store_true")
     ap.add_argument("--impls", default="dense,rows,tent,onehot")
     args = ap.parse_args()
-    run_all = not (args.corr or args.gru or args.ba or args.reproject)
+    run_all = not (args.corr or args.corrcm or args.gru or args.ba
+                   or args.reproject)
     print(f"backend: {jax.default_backend()} {jax.devices()[0].device_kind}",
           flush=True)
     if args.corr or run_all:
         bench_corr(tuple(args.impls.split(",")))
+    if args.corrcm or run_all:
+        bench_corr_cm()
     if args.gru or run_all:
         bench_gru()
     if args.reproject or run_all:
