@@ -162,7 +162,10 @@ def main():
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     window_fps = []
-    for _w in range(n_windows):
+    max_windows = 6  # retry budget when a window catches a compile/stall
+
+    def run_window():
+        nonlocal t
         tic = time.perf_counter()
         for _ in range(n_meas):
             tif = time.perf_counter()
@@ -175,6 +178,19 @@ def main():
             t += 1
         jax.block_until_ready(droid.video.buf.poses)
         window_fps.append(n_meas / (time.perf_counter() - tic))
+
+    for _w in range(n_windows):
+        run_window()
+    # variance control (VERDICT r2): if the windows disagree by >15%, one of
+    # them caught a recompile or a tunnel stall — run extra windows (the
+    # median absorbs the outlier) instead of publishing a coin flip.
+    while ((max(window_fps) - min(window_fps)) / np.median(window_fps) > 0.15
+           and len(window_fps) < max_windows):
+        import sys as _s
+        print(f"bench: window spread >15% "
+              f"({['%.2f' % f for f in sorted(window_fps)]}) — "
+              f"running an extra window", file=_s.stderr, flush=True)
+        run_window()
     if profile_dir:
         jax.profiler.stop_trace()
 
