@@ -157,7 +157,8 @@ def conv_gru(params, net, inp, pre=None):
 # ---------------------------------------------------------------------------
 
 def update_module(params, net, inp, corr, flow=None, ii=None, num_frames=None,
-                  frame_slots=None, pre=None, compute_upmask=True):
+                  frame_slots=None, pre=None, compute_upmask=True,
+                  psum_axis=None):
     """RAFT-SLAM update operator on a batch of edges.
 
     net/inp [E,h,w,128], corr [E,h,w,196], flow [E,h,w,4].
@@ -235,18 +236,29 @@ def update_module(params, net, inp, corr, flow=None, ii=None, num_frames=None,
         return net, delta, weight
 
     eta, upmask = graph_agg(params, net, ii, num_frames,
-                            compute_upmask=compute_upmask)
+                            compute_upmask=compute_upmask,
+                            psum_axis=psum_axis)
     return net, delta, weight, eta, upmask
 
 
-def graph_agg(params, net, ii, num_frames, compute_upmask=True):
+def graph_agg(params, net, ii, num_frames, compute_upmask=True,
+              psum_axis=None):
     """Segment-mean over edges with the same source frame, then damping and
     upsample-mask heads (droid_net.py:44-75). ``ii`` must already be
-    zero-based frame slots in [0, num_frames)."""
+    zero-based frame slots in [0, num_frames).
+
+    ``psum_axis``: mesh axis name when the edge dim is sharded (shard_map
+    edge-parallel frontend, parallel/frontend.py) — the segment sums and
+    counts are reduced across shards so the mean spans ALL edges of a
+    frame, exactly as in the unsharded program (up to psum reassociation).
+    """
     x = jax.nn.relu(conv2d(params, "update.agg.conv1", net))
     ones = jnp.ones((x.shape[0],), x.dtype)
     counts = jax.ops.segment_sum(ones, ii, num_segments=num_frames)
     sums = jax.ops.segment_sum(x, ii, num_segments=num_frames)
+    if psum_axis is not None:
+        counts = jax.lax.psum(counts, psum_axis)
+        sums = jax.lax.psum(sums, psum_axis)
     mean = sums / jnp.maximum(counts, 1.0)[:, None, None, None]
 
     y = jax.nn.relu(conv2d(params, "update.agg.conv2", mean))

@@ -58,7 +58,7 @@ def _update_core_traced(params, poses, disps, intrinsics, inps_buf, pyramid,
                         nets_e, target, weight, slots, ii, jj, valid, g0,
                         nw: int, lookup_impl: str = "gather",
                         slot_native: bool = False, pre=None,
-                        compute_upmask: bool = True):
+                        compute_upmask: bool = True, psum_axis=None):
     """One GRU+heads iteration over the active edges (factor_graph.py:215-238).
 
     pyramid: tuple of [EB, HW, hl, wl] slot-addressed corr volumes.
@@ -134,7 +134,7 @@ def _update_core_traced(params, poses, disps, intrinsics, inps_buf, pyramid,
     net, delta, weight_new, eta, upmask = nets.update_module(
         params, net_e.astype(cdt), inp_e,
         corr.astype(cdt), motn.astype(cdt), ii=agg_ii, num_frames=nw + 1,
-        pre=pre, compute_upmask=compute_upmask)
+        pre=pre, compute_upmask=compute_upmask, psum_axis=psum_axis)
     eta = eta[:nw]
     upmask = upmask[:nw] if compute_upmask else None
 
