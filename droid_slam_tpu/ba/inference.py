@@ -262,12 +262,15 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
 
         pi = plan.ii - plan.t0
         pj = plan.jj - plan.t0
-        A = (_scatter_pose_mat(Hii, pi, pi, NW, n_free)
-             + _scatter_pose_mat(Hij, pi, pj, NW, n_free)
-             + _scatter_pose_mat(Hji, pj, pi, NW, n_free)
-             + _scatter_pose_mat(Hjj, pj, pj, NW, n_free))
-        v = _scatter_pose_vec(vi, pi, NW, n_free) + \
-            _scatter_pose_vec(vj, pj, NW, n_free)
+        # one fused scatter for all four quadrant block sets (and one for
+        # both rhs halves): the separate [E,6,6] scatters are launch/layout
+        # overhead at these sizes (~35 us each x 4 x 2 GN x 5 iterations)
+        A = _scatter_pose_mat(
+            jnp.concatenate([Hii, Hij, Hji, Hjj], axis=0),
+            jnp.concatenate([pi, pi, pj, pj]),
+            jnp.concatenate([pi, pj, pi, pj]), NW, n_free)
+        v = _scatter_pose_vec(jnp.concatenate([vi, vj]),
+                              jnp.concatenate([pi, pj]), NW, n_free)
 
         if shape.motion_only:
             M = A.transpose(0, 2, 1, 3).reshape(NW * 6, NW * 6)
