@@ -219,12 +219,17 @@ def _make_iteration(params, disps_sens, intrinsics, inps_buf, pyramid,
             slot_native, pre=pre, compute_upmask=False)
 
         if slot_native:
-            # tables are slot-ordered: masked in-place select, no scatter
-            vm1 = valid[:, None, None, None]
-            nets_e = jnp.where(vm1, net_e.astype(nets_e.dtype), nets_e)
-            vm2 = valid[:, None, None]
-            target = jnp.where(vm2, tgt_e, target)
-            weight = jnp.where(vm2, wgt_e, weight)
+            # tables are slot-ordered: direct assignment, no select needed.
+            # tgt_e/wgt_e are already zero-masked by validity inside the
+            # core (the `* vm` at _update_core_traced's return), and every
+            # consumer of nets_e masks invalid slots (the aggregation dump
+            # segment, BA's edge_valid, the add-edges overwrite), so the
+            # unmasked net rows of padded slots are never observable —
+            # the [E,h,w,128] masked select this replaces cost
+            # ~1.5 ms/frame on v5e (broadcast_select fusions).
+            nets_e = net_e.astype(nets_e.dtype)
+            target = tgt_e
+            weight = wgt_e
         else:
             # scatter edge state back to the slot buffers (invalid dropped)
             cap = nets_e.shape[0]
