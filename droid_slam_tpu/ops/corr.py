@@ -356,20 +356,37 @@ def _lookup_level_dense_cm(vol: jnp.ndarray, coords: jnp.ndarray, radius: int,
     off = jnp.arange(rd, dtype=jnp.float32)
     cdt = vol.dtype if vol.dtype == jnp.bfloat16 else jnp.float32
 
-    # x-step: cols[e,h,a,p] = sum_w T(x(p)+a-r-w) vol[e,h,w,p]
+    # x-step: cols[e,a,h,p] = sum_w T(x(p)+a-r-w) vol[e,h,w,p]. The taps
+    # axis sits OUTSIDE h so producer (iterates h-major) and the y-step
+    # consumer (reduces h, wants it second-minor) agree on layout — the
+    # [e,h,a,p] ordering forced a ~0.7 ms/frame relayout copy between the
+    # two passes (DROID_CM_COLS=ha restores it for A/B).
+    import os
+    ah = os.environ.get("DROID_CM_COLS", "ah") != "ha"
     xpos = x[:, None, None, :] + (off - r)[None, :, None, None]  # [E,rd,1,P]
     wx = jnp.clip(1.0 - jnp.abs(
         xpos - jnp.arange(w2, dtype=jnp.float32)[None, None, :, None]),
         0.0, 1.0).astype(cdt)                                    # [E,rd,w2,P]
-    cols = jnp.sum(vol[:, :, None, :, :] * wx[:, None, :, :, :],
-                   axis=3, dtype=jnp.float32).astype(cdt)        # [E,h2,rd,P]
-    # y-step: out[e,a,b,p] = sum_h T(y(p)+b-r-h) cols[e,h,a,p]
-    ypos = y[:, None, None, :] + (off - r)[None, None, :, None]  # [E,1,rd,P]
-    wy = jnp.clip(1.0 - jnp.abs(
-        ypos - jnp.arange(h2, dtype=jnp.float32)[None, :, None, None]),
-        0.0, 1.0).astype(cdt)                                    # [E,h2,rd,P]
-    out = jnp.sum(cols[:, :, :, None, :] * wy[:, :, None, :, :],
-                  axis=1, dtype=jnp.float32)                     # [E,a,b,P]
+    if ah:
+        ypos = y[:, None, None, :] + (off - r)[None, :, None, None]
+        wy = jnp.clip(1.0 - jnp.abs(
+            ypos - jnp.arange(h2, dtype=jnp.float32)[None, None, :, None]),
+            0.0, 1.0).astype(cdt)                                # [E,rd,h2,P]
+        cols = jnp.sum(vol[:, None, :, :, :] * wx[:, :, None, :, :],
+                       axis=3, dtype=jnp.float32).astype(cdt)    # [E,rd,h2,P]
+        # y-step: out[e,a,b,p] = sum_h T(y(p)+b-r-h) cols[e,a,h,p]
+        out = jnp.sum(cols[:, :, None, :, :] * wy[:, None, :, :, :],
+                      axis=3, dtype=jnp.float32)                 # [E,a,b,P]
+    else:
+        ypos = y[:, None, None, :] + (off - r)[None, None, :, None]
+        wy = jnp.clip(1.0 - jnp.abs(
+            ypos - jnp.arange(h2, dtype=jnp.float32)[None, :, None, None]),
+            0.0, 1.0).astype(cdt)                                # [E,h2,rd,P]
+        cols = jnp.sum(vol[:, :, None, :, :] * wx[:, None, :, :, :],
+                       axis=3, dtype=jnp.float32).astype(cdt)    # [E,h2,rd,P]
+        # y-step: out[e,a,b,p] = sum_h T(y(p)+b-r-h) cols[e,h,a,p]
+        out = jnp.sum(cols[:, :, :, None, :] * wy[:, :, None, :, :],
+                      axis=1, dtype=jnp.float32)                 # [E,a,b,P]
     return out.astype(out_dtype).reshape(E, rd * rd, P)
 
 
