@@ -142,12 +142,17 @@ def conv_gru(params, net, inp, pre=None):
         return (1.0 - z) * net + z * q
 
     pre_zr, pre_q = pre
-    zr = (_conv_nobias(net, wzr[:, :, :128]) + _conv_nobias(inp, wzr[:, :, 256:])
+    # the zr and q convs both consume the same corr/flow features: one
+    # merged 192->384 conv (exact: concatenated output channels of a
+    # shared input) instead of two launches + two reads of `inp`
+    wcf = jnp.concatenate([wzr[:, :, 256:], wq[:, :, 256:]], axis=-1)
+    cf = _conv_nobias(inp, wcf.astype(inp.dtype))                # [E,h,w,384]
+    zr = (_conv_nobias(net, wzr[:, :, :128]) + cf[..., :256]
           + pre_zr + bzr.astype(net.dtype))
     z = jax.nn.sigmoid(zr[..., :128] + gz)
     r = jax.nn.sigmoid(zr[..., 128:] + gr)
     q = jnp.tanh(_conv_nobias(r * net, wq[:, :, :128].astype(net.dtype))
-                 + _conv_nobias(inp, wq[:, :, 256:].astype(net.dtype))
+                 + cf[..., 256:]
                  + pre_q + bq.astype(net.dtype) + gq)
     return (1.0 - z) * net + z * q
 
