@@ -336,7 +336,7 @@ def build_pyramid_cm(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
 
 
 def _lookup_level_dense_cm(vol: jnp.ndarray, coords: jnp.ndarray, radius: int,
-                           out_dtype=jnp.bfloat16):
+                           out_dtype=jnp.bfloat16, cols_order=None):
     """Tent-weight lookup on a channel-major volume level.
 
     Same math as _lookup_level_dense (two separable tent contractions,
@@ -346,6 +346,14 @@ def _lookup_level_dense_cm(vol: jnp.ndarray, coords: jnp.ndarray, radius: int,
     vol [E,h2,w2,P]; coords [E,P,2] at this level's scale.
     Returns [E,(2r+1)^2,P], channel index c = a*(2r+1)+b (x-offset-major,
     matching _lookup_level_dense's output order).
+
+    ``cols_order`` picks the x-pass intermediate's axis order, "ah"
+    ([E,rd,h2,P]) or "ha" ([E,h2,rd,P]) — same math, very different XLA
+    codegen. Measured per level on v5e at the live bench shapes
+    (ms/lookup, /tmp profile round 7): L0 ah 1.53 / ha 1.86; L1 ah 1.31 /
+    ha 0.48; L2 ah 0.09 / ha 0.29; L3 ah 0.37 / ha 0.016 — neither order
+    wins everywhere, so lookup_pyramid_cm selects per level
+    (CM_COLS_ORDERS); DROID_CM_COLS=ah|ha forces one globally for A/B.
     """
     E, h2, w2, P = vol.shape
     r = radius
@@ -356,13 +364,10 @@ def _lookup_level_dense_cm(vol: jnp.ndarray, coords: jnp.ndarray, radius: int,
     off = jnp.arange(rd, dtype=jnp.float32)
     cdt = vol.dtype if vol.dtype == jnp.bfloat16 else jnp.float32
 
-    # x-step: cols[e,a,h,p] = sum_w T(x(p)+a-r-w) vol[e,h,w,p]. The taps
-    # axis sits OUTSIDE h so producer (iterates h-major) and the y-step
-    # consumer (reduces h, wants it second-minor) agree on layout — the
-    # [e,h,a,p] ordering forced a ~0.7 ms/frame relayout copy between the
-    # two passes (DROID_CM_COLS=ha restores it for A/B).
     import os
-    ah = os.environ.get("DROID_CM_COLS", "ah") != "ha"
+    env = os.environ.get("DROID_CM_COLS", "")
+    order = env if env in ("ah", "ha") else (cols_order or "ah")
+    ah = order != "ha"
     xpos = x[:, None, None, :] + (off - r)[None, :, None, None]  # [E,rd,1,P]
     wx = jnp.clip(1.0 - jnp.abs(
         xpos - jnp.arange(w2, dtype=jnp.float32)[None, None, :, None]),
@@ -390,14 +395,22 @@ def _lookup_level_dense_cm(vol: jnp.ndarray, coords: jnp.ndarray, radius: int,
     return out.astype(out_dtype).reshape(E, rd * rd, P)
 
 
+# per-level x-pass intermediate ordering, measured on v5e (see
+# _lookup_level_dense_cm docstring); levels beyond the table reuse "ha"
+# (the small-h2 winner)
+CM_COLS_ORDERS = ("ah", "ha", "ah", "ha")
+
+
 def lookup_pyramid_cm(pyramid_cm, cflat: jnp.ndarray, radius: int = RADIUS,
                       out_dtype=jnp.bfloat16):
     """Sample all channel-major levels at level-0 coords [E,P,2].
 
     Returns [E, L*(2r+1)^2, P] with the reference's level-major,
     x-offset-major channel order (modules/corr.py:46-50)."""
-    outs = [_lookup_level_dense_cm(vol, cflat / (2.0 ** lvl), radius,
-                                   out_dtype=out_dtype)
+    outs = [_lookup_level_dense_cm(
+                vol, cflat / (2.0 ** lvl), radius, out_dtype=out_dtype,
+                cols_order=(CM_COLS_ORDERS[lvl]
+                            if lvl < len(CM_COLS_ORDERS) else "ha"))
             for lvl, vol in enumerate(pyramid_cm)]
     return jnp.concatenate(outs, axis=1)
 

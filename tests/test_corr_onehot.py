@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from droid_slam_tpu.ops import corr
 
@@ -74,8 +75,11 @@ def test_onehot_pyramid_api(rng):
     np.testing.assert_allclose(a, b, atol=1e-4)
 
 
-def test_dense_cm_matches_gather(rng):
-    """Channel-major lookup (pixels-in-lanes volume layout) vs gather."""
+@pytest.mark.parametrize("cols_order", ["ah", "ha"])
+def test_dense_cm_matches_gather(rng, cols_order):
+    """Channel-major lookup (pixels-in-lanes volume layout) vs gather,
+    under both x-pass intermediate orderings (lookup_pyramid_cm selects
+    per level from CM_COLS_ORDERS)."""
     E, h, w = 3, 8, 16
     HW = h * w
     vol = rng.normal(size=(E, HW, h, w)).astype(np.float32)
@@ -84,7 +88,8 @@ def test_dense_cm_matches_gather(rng):
               np.array([w + 4, h + 4]) - 2).astype(np.float32)
 
     out = np.asarray(corr._lookup_level_dense_cm(
-        vol_cm, jnp.asarray(coords), 3, out_dtype=jnp.float32))
+        vol_cm, jnp.asarray(coords), 3, out_dtype=jnp.float32,
+        cols_order=cols_order))
     expect = np.asarray(corr._lookup_level(jnp.asarray(vol),
                                            jnp.asarray(coords), 3))
     np.testing.assert_allclose(out.transpose(0, 2, 1), expect, atol=1e-4)
