@@ -118,7 +118,22 @@ def gru_context_pre(params, inp):
     return pre_zr, pre_q
 
 
-def conv_gru(params, net, inp, pre=None):
+def _gru_pallas_mode():
+    """'' = off, 'on' = compiled Pallas epilogues, 'interpret' = Pallas in
+    interpret mode (CPU parity tests). Env DROID_GRU_PALLAS overrides the
+    default (on for TPU backends, off elsewhere)."""
+    import os
+    env = os.environ.get("DROID_GRU_PALLAS", "")
+    if env == "0":
+        return ""
+    if env == "interpret":
+        return "interpret"
+    if env == "1" or jax.default_backend() == "tpu":
+        return "on"
+    return ""
+
+
+def conv_gru(params, net, inp, pre=None, pallas_ok=False):
     """net [E,h,w,128]; without ``pre``: inp [E,h,w,320] = concat of
     (context, corr-features, flow-features); with ``pre`` (gru_context_pre):
     inp [E,h,w,192] = concat of (corr, flow) features only. Returns updated
@@ -126,7 +141,11 @@ def conv_gru(params, net, inp, pre=None):
 
     MXU packing: the z and r gates share their input, so their 3x3 convs are
     merged into one 256-channel conv; likewise the three 1x1 global-context
-    convs become one 384-channel matmul (same math as gru.py:19-32)."""
+    convs become one 384-channel matmul (same math as gru.py:19-32).
+
+    ``pallas_ok``: the caller is inference-only (no VJP needed) — allows the
+    fused Pallas gate epilogues (ops/gru_pallas.py) which stream each
+    operand once instead of XLA's ~50%-of-HBM loop fusions."""
     gz, gr, gq = _glo_gates(params, net)
     wzr, bzr = _merged_w(params, ["update.gru.convz", "update.gru.convr"])
     wq = params["update.gru.convq.weight"]
@@ -147,6 +166,21 @@ def conv_gru(params, net, inp, pre=None):
     # shared input) instead of two launches + two reads of `inp`
     wcf = jnp.concatenate([wzr[:, :, 256:], wq[:, :, 256:]], axis=-1)
     cf = _conv_nobias(inp, wcf.astype(inp.dtype))                # [E,h,w,384]
+
+    mode = _gru_pallas_mode() if pallas_ok else ""
+    if mode:
+        from ..ops import gru_pallas
+        interp = mode == "interpret"
+        gzr = (jnp.concatenate([gz, gr], axis=-1)[:, 0, 0, :]
+               + bzr.astype(net.dtype))                          # [E,256]
+        gqb = gq[:, 0, 0, :] + bq.astype(net.dtype)              # [E,128]
+        zrc = _conv_nobias(net, wzr[:, :, :128])
+        z, rnet = gru_pallas.gru_epilogue_a(zrc, cf, pre_zr, net, gzr,
+                                            interpret=interp)
+        qc = _conv_nobias(rnet, wq[:, :, :128].astype(net.dtype))
+        return gru_pallas.gru_epilogue_b(qc, cf, pre_q, net, z, gqb,
+                                         interpret=interp)
+
     zr = (_conv_nobias(net, wzr[:, :, :128]) + cf[..., :256]
           + pre_zr + bzr.astype(net.dtype))
     z = jax.nn.sigmoid(zr[..., :128] + gz)
@@ -163,7 +197,7 @@ def conv_gru(params, net, inp, pre=None):
 
 def update_module(params, net, inp, corr, flow=None, ii=None, num_frames=None,
                   frame_slots=None, pre=None, compute_upmask=True,
-                  psum_axis=None):
+                  psum_axis=None, pallas_ok=False):
     """RAFT-SLAM update operator on a batch of edges.
 
     net/inp [E,h,w,128], corr [E,h,w,196], flow [E,h,w,4].
@@ -207,7 +241,8 @@ def update_module(params, net, inp, corr, flow=None, ii=None, num_frames=None,
     if pre is None:
         net = conv_gru(params, net, jnp.concatenate([inp, c, f], axis=-1))
     else:
-        net = conv_gru(params, net, jnp.concatenate([c, f], axis=-1), pre=pre)
+        net = conv_gru(params, net, jnp.concatenate([c, f], axis=-1), pre=pre,
+                       pallas_ok=pallas_ok)
 
     # delta.0 and weight.0 share their input — one merged 128->256 MXU conv;
     # the 2-channel second convs are merged block-diagonally into one

@@ -134,7 +134,8 @@ def _update_core_traced(params, poses, disps, intrinsics, inps_buf, pyramid,
     net, delta, weight_new, eta, upmask = nets.update_module(
         params, net_e.astype(cdt), inp_e,
         corr.astype(cdt), motn.astype(cdt), ii=agg_ii, num_frames=nw + 1,
-        pre=pre, compute_upmask=compute_upmask, psum_axis=psum_axis)
+        pre=pre, compute_upmask=compute_upmask, psum_axis=psum_axis,
+        pallas_ok=True)
     eta = eta[:nw]
     upmask = upmask[:nw] if compute_upmask else None
 
