@@ -210,6 +210,12 @@ def main():
         "vs_baseline": round(fps / 10.0, 3),
         "windows": [round(f, 3) for f in window_fps],
         "spread": round(spread, 4),
+        # provenance (VERDICT r3 item 8): the exact tree + env the number
+        # was measured under, so a notes-vs-record discrepancy is visible
+        # in the record itself.
+        "sha": _git_sha(),
+        "env_overrides": {k: v for k, v in sorted(os.environ.items())
+                          if k.startswith(("DROID_", "BENCH_"))},
     }
 
     # speculation health (slam/droid.py speculative dispatch): rates of
@@ -234,6 +240,23 @@ def main():
     print(json.dumps(result))
     if use_async:
         droid._stop.set()
+
+
+def _git_sha():
+    import subprocess
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10)
+        sha = out.stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+        return sha + ("-dirty" if dirty else "")
+    except Exception:
+        return "unknown"
 
 
 def _measure_mfu(droid, fps, H, W):

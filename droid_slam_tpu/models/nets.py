@@ -118,18 +118,28 @@ def gru_context_pre(params, inp):
     return pre_zr, pre_q
 
 
+# DROID_GRU_PALLAS: '' / '0' = off (default), '1' = compiled Pallas gate
+# epilogues, 'interpret' = Pallas interpret mode (CPU parity tests).
+# Read ONCE at import (ADVICE r3): the value is baked into compiled
+# executables and is not part of any jit cache key, so a post-import change
+# would silently do nothing — freezing it at import makes that explicit
+# (same pattern as DROID_FUSED_FRAME in slam/fused_frame.py).
+#
+# Default is OFF: the fused epilogues measured SLOWER end-to-end than XLA's
+# loop fusions on real v5e (16.49 vs 17.42 kf/s, round-4 A/B — the per-edge
+# grid at (1,40,64,C) blocks underuses the ~819 GB/s HBM pipeline). Kept as
+# an env-gated experiment; see BENCH_NOTES round-4 log.
+_GRU_PALLAS_ENV = __import__("os").environ.get("DROID_GRU_PALLAS", "")
+
+
 def _gru_pallas_mode():
-    """'' = off, 'on' = compiled Pallas epilogues, 'interpret' = Pallas in
-    interpret mode (CPU parity tests). Env DROID_GRU_PALLAS overrides the
-    default (on for TPU backends, off elsewhere)."""
-    import os
-    env = os.environ.get("DROID_GRU_PALLAS", "")
-    if env == "0":
-        return ""
+    env = _GRU_PALLAS_ENV
     if env == "interpret":
         return "interpret"
-    if env == "1" or jax.default_backend() == "tpu":
-        return "on"
+    if env == "1":
+        # compiled Mosaic lowering only exists on TPU; on CPU backends fall
+        # back to interpret instead of crashing (ADVICE r3)
+        return "on" if jax.default_backend() == "tpu" else "interpret"
     return ""
 
 
@@ -168,6 +178,14 @@ def conv_gru(params, net, inp, pre=None, pallas_ok=False):
     cf = _conv_nobias(inp, wcf.astype(inp.dtype))                # [E,h,w,384]
 
     mode = _gru_pallas_mode() if pallas_ok else ""
+    if mode:
+        # scoped-VMEM guard (ADVICE r3): each grid step holds full
+        # (1,h,w,C) planes (~1024 bf16 input lanes + f32 temporaries), so
+        # large feature planes blow Mosaic's ~16 MiB scoped-VMEM limit.
+        # 40x64 (the 320x512 EuRoC shape) is compile-verified on real v5e;
+        # gate at 2x that and fall back to the XLA path beyond it.
+        if net.shape[1] * net.shape[2] > 5120:
+            mode = ""
     if mode:
         from ..ops import gru_pallas
         interp = mode == "interpret"

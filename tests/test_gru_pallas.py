@@ -31,7 +31,8 @@ def _mk(dtype, seed=0, E=3, h=8, w=16):
 @pytest.mark.parametrize("dtype,tol", [(jnp.float32, 1e-5),
                                        (jnp.bfloat16, 3e-2)])
 def test_pallas_epilogues_match_xla_pre_path(monkeypatch, dtype, tol):
-    monkeypatch.setenv("DROID_GRU_PALLAS", "interpret")
+    # env is frozen at import (ADVICE r3) — patch the module constant
+    monkeypatch.setattr(nets, "_GRU_PALLAS_ENV", "interpret")
     params, net, cfin, pre = _mk(dtype)
 
     ref = nets.conv_gru(params, net, cfin, pre=pre, pallas_ok=False)
@@ -42,12 +43,39 @@ def test_pallas_epilogues_match_xla_pre_path(monkeypatch, dtype, tol):
                                rtol=tol, atol=tol)
 
 
-def test_pallas_gate_off_without_env(monkeypatch):
-    """On CPU without the env override the gate must resolve to off."""
-    monkeypatch.delenv("DROID_GRU_PALLAS", raising=False)
-    if jax.default_backend() == "cpu":
-        assert nets._gru_pallas_mode() == ""
-    monkeypatch.setenv("DROID_GRU_PALLAS", "0")
+def test_pallas_gate_off_by_default(monkeypatch):
+    """Default (no env) is OFF on every backend — the fused epilogues
+    measured slower than XLA's fusions on real v5e (BENCH_NOTES r4)."""
+    monkeypatch.setattr(nets, "_GRU_PALLAS_ENV", "")
     assert nets._gru_pallas_mode() == ""
-    monkeypatch.setenv("DROID_GRU_PALLAS", "1")
-    assert nets._gru_pallas_mode() == "on"
+    monkeypatch.setattr(nets, "_GRU_PALLAS_ENV", "0")
+    assert nets._gru_pallas_mode() == ""
+    # '1' compiles Mosaic only on TPU; non-TPU backends degrade to
+    # interpret instead of crashing (ADVICE r3)
+    monkeypatch.setattr(nets, "_GRU_PALLAS_ENV", "1")
+    expect = "on" if jax.default_backend() == "tpu" else "interpret"
+    assert nets._gru_pallas_mode() == expect
+
+
+def test_pallas_vmem_guard(monkeypatch):
+    """Large feature planes must fall back to the XLA path instead of
+    exceeding Mosaic's ~16 MiB scoped-VMEM limit (ADVICE r3)."""
+    monkeypatch.setattr(nets, "_GRU_PALLAS_ENV", "interpret")
+    calls = []
+    import droid_slam_tpu.ops.gru_pallas as gp
+    orig = gp.gru_epilogue_a
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(gp, "gru_epilogue_a", spy)
+    # small plane -> pallas path taken
+    params, net, cfin, pre = _mk(jnp.float32, h=8, w=16)
+    nets.conv_gru(params, net, cfin, pre=pre, pallas_ok=True)
+    assert calls, "small plane should use the pallas epilogues"
+    # huge plane -> guard trips, XLA path (no further spy calls)
+    n = len(calls)
+    params, net, cfin, pre = _mk(jnp.float32, E=1, h=128, w=160)
+    nets.conv_gru(params, net, cfin, pre=pre, pallas_ok=True)
+    assert len(calls) == n, "large plane must fall back to the XLA path"
