@@ -128,7 +128,10 @@ def main():
     # min/max/spread reported so outlier windows are visible in the record.
     n_warm, n_windows, n_meas = 26, 3, 12
 
-    cfg = DroidConfig(buffer=64, image_size=(H, W), warmup=8,
+    # buffer must cover warmup + the MAX retry-window frame count (every
+    # frame is admitted and kept): 26 + 6*12 = 98. At 64 a variance-retry
+    # run crashed with "DepthVideo buffer full" (round-4 bench_async.err).
+    cfg = DroidConfig(buffer=128, image_size=(H, W), warmup=8,
                       filter_thresh=-1.0,      # admit every frame
                       keyframe_thresh=-1.0,    # keep every keyframe
                       frontend_window=20, frontend_thresh=17.5,

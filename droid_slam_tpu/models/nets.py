@@ -171,11 +171,6 @@ def conv_gru(params, net, inp, pre=None, pallas_ok=False):
         return (1.0 - z) * net + z * q
 
     pre_zr, pre_q = pre
-    # the zr and q convs both consume the same corr/flow features: one
-    # merged 192->384 conv (exact: concatenated output channels of a
-    # shared input) instead of two launches + two reads of `inp`
-    wcf = jnp.concatenate([wzr[:, :, 256:], wq[:, :, 256:]], axis=-1)
-    cf = _conv_nobias(inp, wcf.astype(inp.dtype))                # [E,h,w,384]
 
     mode = _gru_pallas_mode() if pallas_ok else ""
     if mode:
@@ -189,6 +184,11 @@ def conv_gru(params, net, inp, pre=None, pallas_ok=False):
     if mode:
         from ..ops import gru_pallas
         interp = mode == "interpret"
+        # the zr and q convs both consume the same corr/flow features: one
+        # merged 192->384 conv (exact: concatenated output channels of a
+        # shared input) instead of two launches + two reads of `inp`
+        wcf = jnp.concatenate([wzr[:, :, 256:], wq[:, :, 256:]], axis=-1)
+        cf = _conv_nobias(inp, wcf.astype(inp.dtype))            # [E,h,w,384]
         gzr = (jnp.concatenate([gz, gr], axis=-1)[:, 0, 0, :]
                + bzr.astype(net.dtype))                          # [E,256]
         gqb = gq[:, 0, 0, :] + bq.astype(net.dtype)              # [E,128]
@@ -199,12 +199,20 @@ def conv_gru(params, net, inp, pre=None, pallas_ok=False):
         return gru_pallas.gru_epilogue_b(qc, cf, pre_q, net, z, gqb,
                                          interpret=interp)
 
-    zr = (_conv_nobias(net, wzr[:, :, :128]) + cf[..., :256]
-          + pre_zr + bzr.astype(net.dtype))
+    # ONE 320->256 conv computes the complete zr contraction (the net and
+    # corr/flow blocks of convz/convr over their concatenated inputs): the
+    # 3-way elementwise zr add (zrc + cf-slice + pre_zr) of the two-conv
+    # form collapses into this conv's output epilogue — one fewer
+    # [E,h,w,256] HBM round trip per iteration, identical FLOPs (the same
+    # weight columns contract the same inputs, now in one f32 accumulator).
+    x = jnp.concatenate([net, inp], axis=-1)                     # [E,h,w,320]
+    wzr_x = jnp.concatenate([wzr[:, :, :128], wzr[:, :, 256:]], axis=2)
+    zr = _conv_nobias(x, wzr_x.astype(net.dtype)) + pre_zr + bzr.astype(net.dtype)
     z = jax.nn.sigmoid(zr[..., :128] + gz)
     r = jax.nn.sigmoid(zr[..., 128:] + gr)
+    cfq = _conv_nobias(inp, wq[:, :, 256:].astype(inp.dtype))    # [E,h,w,128]
     q = jnp.tanh(_conv_nobias(r * net, wq[:, :, :128].astype(net.dtype))
-                 + cf[..., 256:]
+                 + cfq
                  + pre_q + bq.astype(net.dtype) + gq)
     return (1.0 - z) * net + z * q
 

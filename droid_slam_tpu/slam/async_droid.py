@@ -72,21 +72,35 @@ class DroidAsync(TrackPipeline):
     def _sync_and_run_backend(self, is_last: bool):
         """droid_async.py:58-125: fragment alignment + slice copy + BA."""
         v1, v2 = self.video, self.video2
-        align_scale = not v2.stereo and not bool(
-            jnp.any(v1.buf.disps_sens))
 
         t0 = max(v2.counter - 2, 0)
         t1 = v1.counter if is_last else v1.counter - 5
         if t1 <= t0:
             return
 
+        # Snapshot EVERY frontend field this sync reads while holding v1's
+        # lock: the frontend's frame programs donate v1.buf (droid.py), which
+        # deletes the old array handles at dispatch time — any v1.buf access
+        # outside the lock races with that deletion ("Array has been
+        # deleted"). Same-device `src` arrays are the live buffers, so the
+        # reads are dispatched (as copies) before the lock is released.
         with v1.get_lock():
             src = v1.buf
             if v2.device is not None and v2.device != v1.device:
                 # explicit cross-device copy (droid_async.py:74-119 .to())
                 src = jax.device_put(src, v2.device)
+            has_sens = jnp.any(src.disps_sens)
             poses1 = src.poses + 0
             disps1 = src.disps + 0
+            sl = slice(t0, t1)
+            sens_sl = src.disps_sens[sl] + 0
+            tstamp_sl = src.tstamp[sl] + 0
+            intr_sl = src.intrinsics[sl] + 0
+            fmaps_sl = src.fmaps[sl] + 0
+            nets_sl = src.nets[sl] + 0
+            inps_sl = src.inps[sl] + 0
+            images_sl = list(self.video.images[t0:t1])
+        align_scale = not v2.stereo and not bool(has_sens)
 
         if t0 > 0:
             lo = max(t0 - 10, 0)
@@ -99,21 +113,20 @@ class DroidAsync(TrackPipeline):
             s = jnp.asarray(1.0)
             dP = se3.identity((1,))
 
-        sl = slice(t0, t1)
         b2 = v2.buf._replace(
             poses=v2.buf.poses.at[sl].set(se3.mul(dP, poses1[sl])),
             disps=v2.buf.disps.at[sl].set(disps1[sl] / s),
-            disps_sens=v2.buf.disps_sens.at[sl].set(src.disps_sens[sl]),
-            tstamp=v2.buf.tstamp.at[sl].set(src.tstamp[sl]),
-            intrinsics=v2.buf.intrinsics.at[sl].set(src.intrinsics[sl]),
-            fmaps=v2.buf.fmaps.at[sl].set(src.fmaps[sl]),
-            nets=v2.buf.nets.at[sl].set(src.nets[sl]),
-            inps=v2.buf.inps.at[sl].set(src.inps[sl]),
+            disps_sens=v2.buf.disps_sens.at[sl].set(sens_sl),
+            tstamp=v2.buf.tstamp.at[sl].set(tstamp_sl),
+            intrinsics=v2.buf.intrinsics.at[sl].set(intr_sl),
+            fmaps=v2.buf.fmaps.at[sl].set(fmaps_sl),
+            nets=v2.buf.nets.at[sl].set(nets_sl),
+            inps=v2.buf.inps.at[sl].set(inps_sl),
         )
         with v2.get_lock():
             v2.buf = b2
             v2.counter = t1
-            v2.images[t0:t1] = self.video.images[t0:t1]
+            v2.images[t0:t1] = images_sl
 
         self.backend(self.backend_iters, normalize=False)
 

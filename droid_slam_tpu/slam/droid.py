@@ -151,30 +151,39 @@ class TrackPipeline:
         # Its readback vector's host copy crosses the tunnel while part B
         # (conditional iters2 + motion model) computes, so the next frame's
         # dispatch queues behind B with no device idle.
-        (buf_mid, g.pyramid, g.target_inac, g.weight_inac, st, kf_dist,
-         gmap, net1, inp1, out_vec) = fused_frame.frame_step_a(
-            self.params, v.buf, g.net, g.target, g.weight, g.pyramid,
-            g.target_inac, g.weight_inac,
-            wf_values, wf_fields,
-            packed_frame, len(ae_ii), len(pi), g.corr_impl == "volume",
-            tb["packed"], tb["nw"], tb["EA"], g.lookup_impl, tb["ba_shape"],
-            np.int32(sc["n_iters"]), np.float32(sc["kf_beta"]),
-            np.int32(sc["do_next_state"]),
-            np.float32(sc["motion_damping"]), np.float32(beta),
-            image_dev, *spec)
-        try:
-            out_vec.copy_to_host_async()
-        except Exception:
-            pass
+        #
+        # The video lock is held across both donating dispatches: frame
+        # programs donate `buf`, which DELETES the python handles to the old
+        # arrays at call time — a concurrent reader (the DroidAsync backend
+        # thread snapshotting v.buf under this same lock) must never hold a
+        # reference across that boundary (mirrors the reference's mp.Lock
+        # protocol, depth_video.py:111-134). Uncontended acquisition in the
+        # sync pipeline is ~100 ns.
+        with v.get_lock():
+            (buf_mid, g.pyramid, g.target_inac, g.weight_inac, st, kf_dist,
+             gmap, net1, inp1, out_vec) = fused_frame.frame_step_a(
+                self.params, v.buf, g.net, g.target, g.weight, g.pyramid,
+                g.target_inac, g.weight_inac,
+                wf_values, wf_fields,
+                packed_frame, len(ae_ii), len(pi), g.corr_impl == "volume",
+                tb["packed"], tb["nw"], tb["EA"], g.lookup_impl, tb["ba_shape"],
+                np.int32(sc["n_iters"]), np.float32(sc["kf_beta"]),
+                np.int32(sc["do_next_state"]),
+                np.float32(sc["motion_damping"]), np.float32(beta),
+                image_dev, *spec)
+            try:
+                out_vec.copy_to_host_async()
+            except Exception:
+                pass
 
-        (v.buf, g.net, g.target, g.weight) = fused_frame.frame_step_b(
-            self.params, buf_mid, g.pyramid, g.target_inac, g.weight_inac,
-            st, kf_dist,
-            packed_frame, len(ae_ii), len(pi),
-            tb["packed"], tb["nw"], tb["EA"], g.lookup_impl, tb["ba_shape"],
-            g.upsample, np.int32(sc["do_next_state"]),
-            np.float32(sc["motion_damping"]), np.int32(sc["n_iters2"]),
-            np.float32(sc["kf_thresh"]), *spec[:4])
+            (v.buf, g.net, g.target, g.weight) = fused_frame.frame_step_b(
+                self.params, buf_mid, g.pyramid, g.target_inac, g.weight_inac,
+                st, kf_dist,
+                packed_frame, len(ae_ii), len(pi),
+                tb["packed"], tb["nw"], tb["EA"], g.lookup_impl, tb["ba_shape"],
+                g.upsample, np.int32(sc["do_next_state"]),
+                np.float32(sc["motion_damping"]), np.int32(sc["n_iters2"]),
+                np.float32(sc["kf_thresh"]), *spec[:4])
 
         self._pending_vec = out_vec
         self._pending_ran_upd = run_upd

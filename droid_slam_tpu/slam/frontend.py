@@ -106,10 +106,11 @@ class DroidFrontend:
         (droid_frontend.py:49-63)."""
         v = self.video
         damping = self.motion_damping if self.motion_damping >= 0 else 0.0
-        poses, disps = _next_state(v.buf.poses, v.buf.disps,
-                                   jnp.asarray(self.t1),
-                                   jnp.asarray(damping, jnp.float32))
-        v.buf = v.buf._replace(poses=poses, disps=disps)
+        with v.get_lock():   # _next_state donates poses/disps (see droid.py)
+            poses, disps = _next_state(v.buf.poses, v.buf.disps,
+                                       jnp.asarray(self.t1),
+                                       jnp.asarray(damping, jnp.float32))
+            v.buf = v.buf._replace(poses=poses, disps=disps)
 
     def update_host(self):
         """Host half of _update (droid_frontend.py:65-117): edge eviction +

@@ -222,11 +222,26 @@ class DepthVideo:
             jnp.asarray(ii_p), jnp.asarray(jj_p))
         return coords[:n], valid[:n]
 
+    # max pairs per frame_distance dispatch: each directed warp materializes
+    # [E,h,w,4] point clouds (~[E,2560,4] f32), so a global-BA proposal over
+    # all t^2 pairs at t~1000 (1M pairs, droid_backend.py:33-39) must be
+    # chunked or it allocates TBs. 32768 pairs ~= 1.3 GB per warp buffer.
+    _DIST_CHUNK = 32768
+
     def distance(self, ii, jj, beta=0.3, bidirectional=True):
-        """depth_video.py:181-211 (edge count bucketed)."""
+        """depth_video.py:181-211 (edge count bucketed; large pair sets are
+        processed in fixed-size chunks to bound device memory)."""
         ii = np.atleast_1d(np.asarray(ii))
         jj = np.atleast_1d(np.asarray(jj))
         n = len(ii)
+        if n > self._DIST_CHUNK:
+            out = np.empty(n, np.float32)
+            for s in range(0, n, self._DIST_CHUNK):
+                e = min(s + self._DIST_CHUNK, n)
+                out[s:e] = np.asarray(
+                    self.distance(ii[s:e], jj[s:e], beta=beta,
+                                  bidirectional=bidirectional))
+            return out
         nb = _edge_bucket(n)
         ii_p = np.zeros(nb, np.int64); ii_p[:n] = ii
         jj_p = np.zeros(nb, np.int64); jj_p[:n] = jj
