@@ -242,7 +242,11 @@ def main():
 
     print(json.dumps(result))
     if use_async:
+        # stop AND join: letting the daemon thread die at interpreter
+        # teardown aborts the process if it is mid-dispatch (the PJRT
+        # runtime is torn down under it — observed exit 134 in round 4)
         droid._stop.set()
+        droid._thread.join(timeout=120)
 
 
 def _git_sha():

@@ -82,6 +82,11 @@ def main():
     parser.add_argument("--reconstruction_path", default=None)
     parser.add_argument("--trajectory_path", default="trajectory.txt")
     parser.add_argument("--disable_vis", action="store_true")
+    parser.add_argument("--screenshot", default=None,
+                        help="render the final reconstruction (point cloud "
+                             "+ camera frusta) to this PNG via the "
+                             "offscreen software rasterizer — works fully "
+                             "headless, unlike the reference's GL viewer")
     args = parser.parse_args()
 
     from droid_slam_tpu.config import DroidConfig
@@ -114,6 +119,11 @@ def main():
 
     if args.reconstruction_path:
         save_reconstruction(droid, args.reconstruction_path)
+
+    if args.screenshot:
+        from droid_slam_tpu.eval.viewer import save_screenshot
+        if save_screenshot(args.screenshot, droid.video):
+            print(f"saved reconstruction render to {args.screenshot}")
 
 
 if __name__ == "__main__":

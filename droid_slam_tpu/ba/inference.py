@@ -52,6 +52,14 @@ def _schur_assembly() -> str:
     return os.environ.get("DROID_SCHUR_ASSEMBLY", "scatter")
 
 
+def _ba_edge_chunk() -> int:
+    """Edge-chunk size for the Gauss-Newton linearization (global-BA scale,
+    see ba_iterations): bounds the per-edge pixel transients to
+    chunk x HW x ~80 bytes. 2048 x 1200 px ~= 200 MB peak per chunk."""
+    import os
+    return int(os.environ.get("DROID_BA_EDGE_CHUNK", "2048"))
+
+
 def _evt_quirk() -> bool:
     """Whether to reproduce the reference's EvT6x1 `idx <= 0` skip
     (droid_kernels.cu:1116-1117) in the depth back-substitution."""
@@ -253,12 +261,41 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
     sens_w = disps_sens[win].reshape(NW, hw)
     m_sens = (sens_w > 0).astype(jnp.float32)
 
+    # Edge-chunked linearization for global-BA scale: the per-edge pixel
+    # transients (Jj [E,2,6,HW] ~1 GB at E=16k/NW=1024 plus r/w/Jz/Ei/Ej)
+    # OOM a 16 GB v5e if materialized for all edges at once (measured
+    # 19.9 GB peak, round 4). linearize/pose_blocks/depth_blocks are purely
+    # per-edge, so a lax.scan over fixed-size chunks is BIT-IDENTICAL and
+    # caps the transient at chunk/E of the full size. Frontend-scale systems
+    # (E <= chunk) keep the single-pass form — identical program to before.
+    echunk = _ba_edge_chunk()
+    chunked = (not shape.motion_only) and E > echunk and E % echunk == 0
+
+    def _edge_blocks(poses, disps):
+        def body(c, _):
+            s = c * echunk
+            sl = lambda v: jax.lax.dynamic_slice_in_dim(v, s, echunk)
+            t = edge_terms.linearize(
+                poses, disps, intr_all, sl(target), sl(weight),
+                sl(plan.ii), sl(plan.jj), edge_valid=sl(plan.edge_valid),
+                min_depth=0.25, zero_stereo_pose=True)
+            return c + 1, (edge_terms.pose_blocks(t),
+                           edge_terms.depth_blocks(t))
+        _, (Hs, Ds) = jax.lax.scan(body, 0, None, length=E // echunk)
+        flat = lambda x: x.reshape(E, *x.shape[2:])
+        return tuple(map(flat, Hs)), tuple(map(flat, Ds))
+
     def gn_iteration(state, _):
         poses, disps = state
-        t = edge_terms.linearize(
-            poses, disps, intr_all, target, weight, plan.ii, plan.jj,
-            edge_valid=plan.edge_valid, min_depth=0.25, zero_stereo_pose=True)
-        Hii, Hij, Hji, Hjj, vi, vj = edge_terms.pose_blocks(t)
+        if chunked:
+            (Hii, Hij, Hji, Hjj, vi, vj), (Ei_e, Ej_e, Cz_e, bz_e) = \
+                _edge_blocks(poses, disps)
+        else:
+            t = edge_terms.linearize(
+                poses, disps, intr_all, target, weight, plan.ii, plan.jj,
+                edge_valid=plan.edge_valid, min_depth=0.25,
+                zero_stereo_pose=True)
+            Hii, Hij, Hji, Hjj, vi, vj = edge_terms.pose_blocks(t)
 
         pi = plan.ii - plan.t0
         pj = plan.jj - plan.t0
@@ -279,7 +316,8 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
             new_poses = _retract_poses(poses, pwin, p_valid, dx)
             return (new_poses, disps), None
 
-        Ei_e, Ej_e, Cz_e, bz_e = edge_terms.depth_blocks(t)
+        if not chunked:
+            Ei_e, Ej_e, Cz_e, bz_e = edge_terms.depth_blocks(t)
 
         ki = plan.ii - plan.g0  # window-local depth index (always in range)
         Cacc = jax.ops.segment_sum(Cz_e, ki, num_segments=NW)

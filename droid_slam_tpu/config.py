@@ -34,6 +34,12 @@ class DroidConfig:
     backend_radius: int = 2
     backend_nms: int = 3
 
+    # edge-parallel frontend (parallel/frontend.py): shard the update
+    # operator's edge dimension over this many devices (0 = serial).
+    # Uses the classic per-call dispatch path (not the A/B speculative
+    # frame split, which is a single-chip tunnel-latency optimization).
+    edge_parallel: int = 0
+
     # visualization / io
     enable_vis: bool = False
     weights: Optional[str] = None

@@ -242,9 +242,19 @@ class SyntheticBox:
         return images.copy(), poses.copy(), disps.copy(), intr.copy()
 
 
+STEREO_BASELINE = 0.1  # rectified baseline, matches the fixed stereo edge
+                       # transform Gij=[-0.1,0,0,id] (geom/projective.py:31,
+                       # reference projective_ops.py:176-178)
+
+
 def synthetic_stream(n_frames=120, image_size=(320, 512), seed=7,
-                     box_half=2.0, step=0.10, rot_step=0.03):
-    """Evaluation stream: yields (t, image [1,H,W,3] uint8 BGR, intr [4]).
+                     box_half=2.0, step=0.10, rot_step=0.03,
+                     stereo=False, with_depth=False):
+    """Evaluation stream: yields (t, image [C,H,W,3] uint8 BGR, intr [4]),
+    C=2 with ``stereo`` (right view rendered at the rectified +0.1 x-axis
+    baseline so the (i,i) stereo edges' fixed Gij is exact); with
+    ``with_depth`` yields (t, image, depth [H,W] float32, intr) — z-depth
+    of the left view, the input demo.py feeds for RGB-D streams.
 
     Use `synthetic_groundtruth` with the same arguments for the GT
     trajectory. Mirrors the image_stream generators in
@@ -255,8 +265,18 @@ def synthetic_stream(n_frames=120, image_size=(320, 512), seed=7,
     Rs, ts = random_trajectory(n_frames, rng, box_half, step, rot_step)
     intr = np.array([0.8 * W, 0.8 * W, W / 2, H / 2], np.float32)
     for k, (R, t) in enumerate(zip(Rs, ts)):
-        img, _ = render_view(R, t, intr, (H, W), box_half, scene_seed)
-        yield k, img.astype(np.uint8)[None], intr.copy()
+        img, depth = render_view(R, t, intr, (H, W), box_half, scene_seed)
+        views = [img.astype(np.uint8)]
+        if stereo:
+            t_r = t + R @ np.array([STEREO_BASELINE, 0, 0], np.float32)
+            img_r, _ = render_view(R, t_r, intr, (H, W), box_half,
+                                   scene_seed)
+            views.append(img_r.astype(np.uint8))
+        stack = np.stack(views)
+        if with_depth:
+            yield k, stack, depth.copy(), intr.copy()
+        else:
+            yield k, stack, intr.copy()
 
 
 def synthetic_groundtruth(n_frames=120, image_size=(320, 512), seed=7,

@@ -214,6 +214,96 @@ def build_scene(video, video_back=None, filter_thresh: float = 0.02,
 
 
 # ---------------------------------------------------------------------------
+# Offscreen software renderer
+# ---------------------------------------------------------------------------
+
+def _mvp_transform(mvp, pts):
+    """Clip-space transform + perspective divide: [N,3] -> NDC [N,3] plus a
+    front-of-camera mask (w > near plane). Same math the GL vertex shaders
+    above run (`gl_Position = mvp * vec4(pos, 1)`)."""
+    clip = pts @ mvp[:3, :3].T + mvp[:3, 3]
+    wc = pts @ mvp[3, :3] + mvp[3, 3]
+    ok = wc > 1e-6
+    ndc = clip / np.where(ok, wc, 1.0)[:, None]
+    return ndc, ok
+
+
+def render_offscreen(scene: ViewerScene, camera: OrbitCamera | None = None,
+                     size=(480, 640), fov_deg=60.0,
+                     background=(0.09, 0.09, 0.10)):
+    """Rasterize a ViewerScene to an RGB uint8 image [H,W,3] without any GL
+    context: the same MVP pipeline as the moderngl layer (view matrix ->
+    perspective -> NDC -> viewport), z-buffered point splatting with the
+    alpha<=0 discard, and white camera-frustum wireframes drawn by segment
+    sampling. This is the presentation path used headless (demo
+    --disable_vis screenshots, tests) where the reference requires an X11/
+    EGL context (droid_visualizer.py:70-252)."""
+    H, W = size
+    if camera is None:
+        camera = OrbitCamera()
+        vis = scene.points[scene.alpha > 0]
+        if len(vis):
+            center = np.median(vis, axis=0)
+            camera.target = center.astype(np.float64)
+            spread = np.quantile(np.linalg.norm(vis - center, axis=1), 0.9)
+            camera.radius = float(max(3.0 * spread, 0.5))
+    mvp = perspective_matrix(fov_deg, W / H).astype(np.float64) \
+        @ camera.view_matrix().astype(np.float64)
+
+    img = np.empty((H, W, 3), np.float32)
+    img[:] = np.asarray(background, np.float32)
+    zbuf = np.full((H, W), np.inf, np.float32)
+
+    # --- points (z-buffered splat; alpha <= 0 discarded as in _POINT_FS) ---
+    keep = scene.alpha > 0
+    pts, cols = scene.points[keep], scene.colors[keep]
+    if len(pts):
+        ndc, ok = _mvp_transform(mvp, pts.astype(np.float64))
+        inside = ok & (np.abs(ndc[:, 0]) < 1) & (np.abs(ndc[:, 1]) < 1) \
+            & (np.abs(ndc[:, 2]) < 1)
+        ndc, cols = ndc[inside], cols[inside]
+        px = ((ndc[:, 0] + 1) * 0.5 * (W - 1)).astype(np.int64)
+        py = ((1 - ndc[:, 1]) * 0.5 * (H - 1)).astype(np.int64)
+        depth = ndc[:, 2].astype(np.float32)
+        # z-buffer via sort: draw far-to-near so the last write wins
+        order = np.argsort(-depth)
+        flat = py[order] * W + px[order]
+        img.reshape(-1, 3)[flat] = cols[order]
+        zbuf.reshape(-1)[flat] = depth[order]
+
+    # --- camera wireframes (segment sampling, drawn over closer z only) ---
+    segs = scene.cam_segments.reshape(-1, 2, 3)
+    if len(segs):
+        ndc_a, ok_a = _mvp_transform(mvp, segs[:, 0].astype(np.float64))
+        ndc_b, ok_b = _mvp_transform(mvp, segs[:, 1].astype(np.float64))
+        ok = ok_a & ok_b
+        ts = np.linspace(0.0, 1.0, 24)[None, :, None]
+        samp = ndc_a[ok][:, None, :] * (1 - ts) + ndc_b[ok][:, None, :] * ts
+        samp = samp.reshape(-1, 3)
+        inside = (np.abs(samp[:, 0]) < 1) & (np.abs(samp[:, 1]) < 1) \
+            & (np.abs(samp[:, 2]) < 1)
+        samp = samp[inside]
+        px = ((samp[:, 0] + 1) * 0.5 * (W - 1)).astype(np.int64)
+        py = ((1 - samp[:, 1]) * 0.5 * (H - 1)).astype(np.int64)
+        depth = samp[:, 2].astype(np.float32)
+        front = depth <= zbuf[py, px] + 1e-6
+        img[py[front], px[front]] = (0.92, 0.92, 0.92)
+
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def save_screenshot(path, video, video_back=None, **kw):
+    """Build the scene from live DepthVideo state and write a PNG."""
+    scene = build_scene(video, video_back)
+    if scene is None:
+        return False
+    img = render_offscreen(scene, **kw)
+    import cv2
+    cv2.imwrite(str(path), img[..., ::-1])  # RGB -> BGR for cv2
+    return True
+
+
+# ---------------------------------------------------------------------------
 # moderngl presentation layer (optional dependency)
 # ---------------------------------------------------------------------------
 

@@ -134,3 +134,65 @@ def edge_parallel_iteration(mesh: Mesh, params, poses, disps, disps_sens,
         ba_shape, poses, disps, disps_sens, damping, intrinsics[0],
         tgt_ba[:ba_shape.edges], wgt_ba[:ba_shape.edges], plan, lm, ep)
     return poses, disps, damping, net, tgt, wgt
+
+
+# ---------------------------------------------------------------------------
+# The full fused frontend update, edge-parallel (DroidConfig.edge_parallel)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit,
+         static_argnames=("mesh", "axis", "nw", "ea", "lookup_impl",
+                          "ba_shape", "upsample"))
+def fused_update_mesh(mesh, axis, params, poses, disps, disps_sens, damping,
+                      intrinsics, inps_buf, pyramid, nets_e, target, weight,
+                      target_inac_buf, weight_inac_buf, packed,
+                      nw: int, ea: int, lookup_impl: str, ba_shape, lm, ep,
+                      n_iters, upsample: bool, kf_beta, do_next_state,
+                      motion_damping, n_iters2, kf_thresh):
+    """state.graph._fused_update with the edge/slot dimension sharded over
+    ``mesh``: the whole frame program (sensor overwrite, N x (GRU update +
+    DBA), keyframe probe, conditional refinement, motion model) runs inside
+    ONE shard_map — per-edge compute local, per-frame aggregations psum'd,
+    the dense BA replicated from all-gathered target/weight (see
+    _make_iteration's edge_axis contract). Bit-compatible with the serial
+    program up to reduction reassociation.
+
+    Reference scope: parallelizes droid_net.py:78-143 + factor_graph.py:
+    215-263, which the reference runs on one GPU."""
+    from ..state import graph as graph_mod
+
+    n = mesh.devices.size
+    EB = nets_e.shape[0]
+    assert EB % n == 0, f"slot capacity {EB} not divisible by mesh size {n}"
+
+    e = P(axis)
+    r = P()
+
+    def body(params, poses, disps, disps_sens, damping, intrinsics,
+             inps_buf, pyramid, nets_e, target, weight, tgt_inac, wgt_inac,
+             packed, lm, ep, n_iters, kf_beta, do_next_state,
+             motion_damping, n_iters2, kf_thresh):
+        return graph_mod._fused_update_traced(
+            params, poses, disps, disps_sens, damping, intrinsics, inps_buf,
+            pyramid, nets_e, target, weight, tgt_inac, wgt_inac, packed,
+            nw, ea, lookup_impl, ba_shape, lm, ep, n_iters, upsample,
+            kf_beta, do_next_state, motion_damping, n_iters2, kf_thresh,
+            edge_axis=axis)
+
+    in_specs = (
+        jax.tree.map(lambda _: r, params),
+        r, r, r, r, r, r,                # poses disps sens damping intr inps
+        jax.tree.map(lambda _: e, tuple(pyramid)),
+        e, e, e,                         # nets_e target weight
+        r, r, r,                         # inac bufs, packed
+        r, r, r, r, r, r, r, r,          # scalars
+    )
+    # outputs: (poses, disps, damping, nets_e, target, weight, eta_last,
+    #           upmask_last, disps_up-or-None, kf_dist)
+    out_specs = (r, r, r, e, e, e, r, r, r, r)
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+    return fn(params, poses, disps, disps_sens, damping, intrinsics,
+              inps_buf, tuple(pyramid), nets_e, target, weight,
+              target_inac_buf, weight_inac_buf, packed, lm, ep, n_iters,
+              kf_beta, do_next_state, motion_damping, n_iters2, kf_thresh)

@@ -379,7 +379,8 @@ class Droid(TrackPipeline):
     def __init__(self, config: DroidConfig):
         self.config = config
         self.params = self._load_params(config.weights)
-        self._fused_frame = self._fused_frame_default()
+        self._fused_frame = (self._fused_frame_default()
+                             and not getattr(config, "edge_parallel", 0))
         self._spec_frame = self._fused_frame and self._spec_frame_default()
         self._spec_meta = None
 

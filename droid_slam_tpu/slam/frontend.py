@@ -52,9 +52,14 @@ class DroidFrontend:
         # ~100-150 in steady state (evict rate x window residency); starting
         # at the 192 bucket avoids a mid-run recompile of the fused update
         # (~20 s each on the deployment's remote compiler)
+        mesh = None
+        n_ep = getattr(args, "edge_parallel", 0)
+        if n_ep:
+            from ..parallel.frontend import edge_parallel_mesh
+            mesh = edge_parallel_mesh(n_ep)
         self.graph = FactorGraph(video, params, max_factors=48,
                                  upsample=getattr(args, "upsample", False),
-                                 ba_inactive_bucket=192)
+                                 ba_inactive_bucket=192, mesh=mesh)
 
         self.t0 = 0
         self.t1 = 0

@@ -192,10 +192,22 @@ def _unpack_frame_tables(packed, ba_shape, ea):
             sens_frame)
 
 
+def _local_edge_tables(edge_axis, nets_e_local, ii, jj, valid):
+    """Slice this shard's rows out of the full per-edge tables. Inside a
+    shard_map over ``edge_axis`` the slot buffers arrive pre-sharded
+    (contiguous blocks in axis order), so the local view of the slot-native
+    tables is the matching contiguous block; slots are the local arange."""
+    eloc = nets_e_local.shape[0]
+    off = jax.lax.axis_index(edge_axis) * eloc
+    sl = lambda v: jax.lax.dynamic_slice_in_dim(v, off, eloc)
+    return jnp.arange(eloc), sl(ii), sl(jj), sl(valid)
+
+
 def _make_iteration(params, disps_sens, intrinsics, inps_buf, pyramid,
                     target_inac_buf, weight_inac_buf, plan, slots, ii, jj,
                     valid, inac_slots, g0, nw, lookup_impl, ba_shape, lm, ep,
-                    slot_native: bool = False):
+                    slot_native: bool = False, edge_axis=None,
+                    ii_full=None, valid_full=None):
     """One (GRU update + DBA) iteration as a state->state closure
     (factor_graph.py:215-263 semantics).
 
@@ -204,11 +216,21 @@ def _make_iteration(params, disps_sens, intrinsics, inps_buf, pyramid,
     captured by the closure, so the fori_loop body sees them as loop
     constants. The upsample-mask head is NOT run in the loop (only the last
     iteration's mask is ever consumed; the caller recomputes it from the
-    final GRU state, saving a [nw,h,w,576] write per iteration)."""
+    final GRU state, saving a [nw,h,w,576] write per iteration).
+
+    ``edge_axis`` (parallel/frontend.py): this trace runs inside a
+    shard_map whose named axis shards the edge/slot dimension — the
+    per-edge inputs (pyramid/nets_e/target/weight and the slots/ii/jj/valid
+    views) are the LOCAL shard, per-frame aggregations psum over the axis,
+    and the (replicated) dense BA consumes all-gathered target/weight.
+    ``ii_full``/``valid_full`` are the unsharded edge tables the replicated
+    per-frame damping mask needs."""
     win = g0 + jnp.arange(nw)
     tgt_inac = target_inac_buf[inac_slots]
     wgt_inac = weight_inac_buf[inac_slots]
     pre = nets.gru_context_pre(params, inps_buf[ii].astype(jnp.bfloat16))
+    if edge_axis is None:
+        ii_full, valid_full = ii, valid
 
     def iteration(state):
         poses, disps, damping, nets_e, target, weight, _ = state
@@ -217,7 +239,8 @@ def _make_iteration(params, disps_sens, intrinsics, inps_buf, pyramid,
         net_e, tgt_e, wgt_e, eta, _upm, _ = _update_core_traced(
             params, poses, disps, intrinsics, inps_buf, pyramid, nets_e,
             target, weight, slots, ii, jj, valid, g0, nw, lookup_impl,
-            slot_native, pre=pre, compute_upmask=False)
+            slot_native, pre=pre, compute_upmask=False,
+            psum_axis=edge_axis)
 
         if slot_native:
             # tables are slot-ordered: direct assignment, no select needed.
@@ -240,15 +263,22 @@ def _make_iteration(params, disps_sens, intrinsics, inps_buf, pyramid,
             weight = weight.at[wslots].set(wgt_e)
 
         # per-frame damping for frames present in ii (factor_graph.py:238)
-        agg_ii = jnp.clip(ii - g0, 0, nw - 1)
+        agg_ii = jnp.clip(ii_full - g0, 0, nw - 1)
         present = jax.ops.segment_sum(
-            valid.astype(jnp.float32), agg_ii, num_segments=nw) > 0
+            valid_full.astype(jnp.float32), agg_ii, num_segments=nw) > 0
         damping = damping.at[win].set(
             jnp.where(present[:, None, None], eta, damping[win]))
 
         # dense bundle adjustment over inactive + active edges
         tgt_act = target if slot_native else target[slots]
         wgt_act = weight if slot_native else weight[slots]
+        if edge_axis is not None:
+            # the replicated BA needs the full edge set: ~2.4 MB per
+            # iteration over ICI at the bench shapes (ROOFLINE.md #1)
+            tgt_act = jax.lax.all_gather(tgt_act, edge_axis, axis=0,
+                                         tiled=True)
+            wgt_act = jax.lax.all_gather(wgt_act, edge_axis, axis=0,
+                                         tiled=True)
         tgt_ba = jnp.concatenate([tgt_inac, tgt_act], axis=0)
         wgt_ba = jnp.concatenate([wgt_inac, wgt_act], axis=0)
         pad = ba_shape.edges - tgt_ba.shape[0]
@@ -270,7 +300,7 @@ def _make_iteration(params, disps_sens, intrinsics, inps_buf, pyramid,
         agg_ii = jnp.where(valid, jnp.clip(ii - g0, 0, nw - 1), nw)
         net_e = nets_e if slot_native else nets_e[slots]
         _eta, upmask = nets.graph_agg(params, net_e.astype(jnp.bfloat16),
-                                      agg_ii, nw + 1)
+                                      agg_ii, nw + 1, psum_axis=edge_axis)
         return upmask[:nw]
 
     iteration.final_upmask = final_upmask
@@ -291,7 +321,8 @@ def _fused_update_part_a(params, poses, disps, disps_sens, damping,
                          intrinsics, inps_buf, pyramid, nets_e, target,
                          weight, target_inac_buf, weight_inac_buf, packed,
                          nw: int, ea: int, lookup_impl: str, ba_shape,
-                         lm, ep, n_iters, kf_beta, write_gate=None):
+                         lm, ep, n_iters, kf_beta, write_gate=None,
+                         edge_axis=None):
     """iters1 half of the fused update: RGB-D sensor overwrite, n_iters x
     (GRU+DBA), and the keyframe-distance probe (which the reference computes
     after iters1, droid_frontend.py:90-98). Returns the iteration-carry
@@ -312,10 +343,15 @@ def _fused_update_part_a(params, poses, disps, disps_sens, damping,
     disps = disps.at[sfc].set(
         jnp.where((sens_frame >= 0) & (sens_sf > 0), sens_sf, disps[sfc]))
 
+    ii_f, valid_f = ii, valid
+    if edge_axis is not None:
+        slots, ii, jj, valid = _local_edge_tables(edge_axis, nets_e, ii, jj,
+                                                  valid)
     iteration = _make_iteration(
         params, disps_sens, intrinsics, inps_buf, pyramid, target_inac_buf,
         weight_inac_buf, plan, slots, ii, jj, valid, inac_slots, g0, nw,
-        lookup_impl, ba_shape, lm, ep, slot_native=True)
+        lookup_impl, ba_shape, lm, ep, slot_native=True,
+        edge_axis=edge_axis, ii_full=ii_f, valid_full=valid_f)
 
     h8, w8 = disps.shape[-2:]
     state = (poses, disps, damping, nets_e, target, weight,
@@ -334,17 +370,23 @@ def _fused_update_part_b(state, kf_dist, params, disps_sens, intrinsics,
                          inps_buf, pyramid, target_inac_buf, weight_inac_buf,
                          packed, nw: int, ea: int, lookup_impl: str,
                          ba_shape, lm, ep, upsample: bool, do_next_state,
-                         motion_damping, n_iters2, kf_thresh):
+                         motion_damping, n_iters2, kf_thresh,
+                         edge_axis=None):
     """Conditional iters2 refinement (droid_frontend.py:98-107) + next-frame
     motion model + optional convex upsampling, from part A's carry state."""
     tabs = _unpack_frame_tables(packed, ba_shape, ea)
     (plan, slots, ii, jj, valid, inac_slots, _kf_pair, g0, ns_t1,
      _sens_frame) = tabs
 
+    ii_f, valid_f = ii, valid
+    if edge_axis is not None:
+        slots, ii, jj, valid = _local_edge_tables(edge_axis, state[3], ii,
+                                                  jj, valid)
     iteration = _make_iteration(
         params, disps_sens, intrinsics, inps_buf, pyramid, target_inac_buf,
         weight_inac_buf, plan, slots, ii, jj, valid, inac_slots, g0, nw,
-        lookup_impl, ba_shape, lm, ep, slot_native=True)
+        lookup_impl, ba_shape, lm, ep, slot_native=True,
+        edge_axis=edge_axis, ii_full=ii_f, valid_full=valid_f)
 
     keep_kf = kf_dist >= 2.0 * kf_thresh
     state = jax.lax.cond(
@@ -381,7 +423,7 @@ def _fused_update_traced(params, poses, disps, disps_sens, damping, intrinsics,
                          nw: int, ea: int, lookup_impl: str,
                          ba_shape, lm, ep, n_iters, upsample: bool,
                          kf_beta=0.3, do_next_state=0, motion_damping=0.0,
-                         n_iters2=0, kf_thresh=-1.0):
+                         n_iters2=0, kf_thresh=-1.0, edge_axis=None):
     """N x (ConvGRU update + DBA) fused into ONE XLA program — one dispatch
     per frontend call instead of ~8 (each dispatch costs ~10-20 ms over the
     deployment's TPU tunnel; fusing is also what lets XLA overlap the GRU
@@ -397,13 +439,14 @@ def _fused_update_traced(params, poses, disps, disps_sens, damping, intrinsics,
     state, kf_dist = _fused_update_part_a(
         params, poses, disps, disps_sens, damping, intrinsics, inps_buf,
         pyramid, nets_e, target, weight, target_inac_buf, weight_inac_buf,
-        packed, nw, ea, lookup_impl, ba_shape, lm, ep, n_iters, kf_beta)
+        packed, nw, ea, lookup_impl, ba_shape, lm, ep, n_iters, kf_beta,
+        edge_axis=edge_axis)
     (poses, disps, damping, nets_e, target, weight, eta_last, upmask_last,
      disps_up) = _fused_update_part_b(
         state, kf_dist, params, disps_sens, intrinsics, inps_buf, pyramid,
         target_inac_buf, weight_inac_buf, packed, nw, ea, lookup_impl,
         ba_shape, lm, ep, upsample, do_next_state, motion_damping, n_iters2,
-        kf_thresh)
+        kf_thresh, edge_axis=edge_axis)
     return (poses, disps, damping, nets_e, target, weight, eta_last,
             upmask_last, disps_up, kf_dist)
 
@@ -622,7 +665,7 @@ class FactorGraph:
     def __init__(self, video: DepthVideo, params, max_factors: int = -1,
                  corr_impl: str = "volume", upsample: bool = False,
                  capacity: int = 64, inactive_capacity: int = 2048,
-                 ba_inactive_bucket: int = 64, rmax: int = 16):
+                 ba_inactive_bucket: int = 64, rmax: int = 16, mesh=None):
         # rmax: Schur row-group bucket. The G einsum in the BA costs
         # O(rmax^2), and typical frontend out-degrees give ~6-10 actual rows
         # per depth frame; the bucket grows monotonically (one recompile)
@@ -649,6 +692,10 @@ class FactorGraph:
         self.ba_inactive_bucket = ba_inactive_bucket
         self.rmax = rmax
         self.window_bucket = 32  # grows monotonically (see update())
+        # edge-parallel mode (parallel/frontend.py): a jax.sharding.Mesh —
+        # dispatch_update routes through the shard_map'd fused update with
+        # the slot dimension sharded over it
+        self.mesh = mesh
 
         self.h, self.w = video.h, video.w
         hw = self.h * self.w
@@ -931,20 +978,38 @@ class FactorGraph:
     def dispatch_update(self, tb, n_iters=1, kf_beta=0.3, do_next_state=0,
                         motion_damping=0.0, n_iters2=0, kf_thresh=-1.0):
         """Device half of `update`: dispatch one fused update from prebuilt
-        tables and apply the results (standalone / fallback path)."""
+        tables and apply the results (standalone / fallback path). With
+        `self.mesh` set the same program runs shard_map'd with the slot
+        dimension sharded over the mesh (parallel/frontend.py)."""
         buf = self.video.buf
-        (poses, disps, damping, self.net, self.target, self.weight, eta,
-         upmask, disps_up, kf_dist) = _fused_update(
-            self.params, buf.poses, buf.disps, buf.disps_sens, buf.damping,
-            buf.intrinsics, buf.inps, self.pyramid, self.net, self.target,
-            self.weight, self.target_inac, self.weight_inac,
-            tb["packed"], tb["nw"], tb["EA"], self.lookup_impl,
-            tb["ba_shape"], 1e-4, 0.1, np.int32(n_iters),
-            self.upsample, np.float32(kf_beta),
-            np.int32(do_next_state),
-            np.float32(motion_damping),
-            np.int32(n_iters2),
-            np.float32(kf_thresh))
+        if self.mesh is not None:
+            from ..parallel.frontend import fused_update_mesh
+            (poses, disps, damping, self.net, self.target, self.weight, eta,
+             upmask, disps_up, kf_dist) = fused_update_mesh(
+                self.mesh, "edges",
+                self.params, buf.poses, buf.disps, buf.disps_sens,
+                buf.damping, buf.intrinsics, buf.inps, self.pyramid,
+                self.net, self.target, self.weight, self.target_inac,
+                self.weight_inac, tb["packed"], tb["nw"], tb["EA"],
+                self.lookup_impl, tb["ba_shape"], 1e-4, 0.1,
+                np.int32(n_iters), self.upsample, np.float32(kf_beta),
+                np.int32(do_next_state), np.float32(motion_damping),
+                np.int32(n_iters2), np.float32(kf_thresh))
+        else:
+            (poses, disps, damping, self.net, self.target, self.weight, eta,
+             upmask, disps_up, kf_dist) = _fused_update(
+                self.params, buf.poses, buf.disps, buf.disps_sens,
+                buf.damping,
+                buf.intrinsics, buf.inps, self.pyramid, self.net,
+                self.target,
+                self.weight, self.target_inac, self.weight_inac,
+                tb["packed"], tb["nw"], tb["EA"], self.lookup_impl,
+                tb["ba_shape"], 1e-4, 0.1, np.int32(n_iters),
+                self.upsample, np.float32(kf_beta),
+                np.int32(do_next_state),
+                np.float32(motion_damping),
+                np.int32(n_iters2),
+                np.float32(kf_thresh))
         self.video.buf = buf._replace(poses=poses, disps=disps,
                                       damping=damping)
 

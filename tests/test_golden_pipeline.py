@@ -40,10 +40,19 @@ CKPT = os.path.join(os.path.dirname(__file__), "..",
                     "checkpoints", "r5_006000.npz")
 
 
-def _stream():
+def _stream(stereo=False, rgbd=False):
+    """Frames as (t, image [C,H,W,3], depth-or-None, intr)."""
     from droid_slam_tpu.data.synthetic import synthetic_stream
-    return list(synthetic_stream(n_frames=N_FRAMES, image_size=(H, W),
-                                 seed=SEED, step=STEP, rot_step=ROT_STEP))
+    out = []
+    for fr in synthetic_stream(n_frames=N_FRAMES, image_size=(H, W),
+                               seed=SEED, step=STEP, rot_step=ROT_STEP,
+                               stereo=stereo, with_depth=rgbd):
+        if rgbd:
+            t, img, depth, intr = fr
+        else:
+            (t, img, intr), depth = fr, None
+        out.append((t, img, depth, intr))
+    return out
 
 
 def _params():
@@ -62,7 +71,7 @@ def _params_to_torch_state(params):
     return state
 
 
-def _run_reference(frames, params):
+def _run_reference(frames, params, stereo=False):
     """The reference pipeline, orchestrated exactly as droid.py:61-69 does
     (motion_filter.track then frontend() per frame)."""
     import torch
@@ -85,7 +94,8 @@ def _run_reference(frames, params):
     args = SimpleNamespace(upsample=False, warmup=WARMUP, beta=0.3,
                            keyframe_thresh=KEYFRAME_THRESH,
                            motion_damping=0.0, **FRONTEND)
-    video = DepthVideo(image_size=[H, W], buffer=32, device="cpu")
+    video = DepthVideo(image_size=[H, W], buffer=32, stereo=stereo,
+                       device="cpu")
     # CPU torch has no autocast: keep feature buffers fp32 (the reference
     # stores fp16 purely to halve GPU memory, depth_video.py:36-38)
     video.fmaps = video.fmaps.float()
@@ -96,9 +106,11 @@ def _run_reference(frames, params):
 
     deltas = []
     with torch.no_grad():
-        for t, img, intr in frames:
-            it = torch.from_numpy(img[0].astype(np.uint8)).permute(2, 0, 1)[None]
-            filt.track(float(t), it, None, torch.from_numpy(intr.copy()))
+        for t, img, depth, intr in frames:
+            stack = img if stereo else img[[0]]
+            it = torch.from_numpy(stack.astype(np.uint8)).permute(0, 3, 1, 2)
+            dt = None if depth is None else torch.from_numpy(depth.copy())
+            filt.track(float(t), it, dt, torch.from_numpy(intr.copy()))
             frontend()
 
     n = video.counter.value
@@ -109,10 +121,11 @@ def _run_reference(frames, params):
                          frontend.graph.jj.tolist())),
         poses=video.poses[:n].numpy().copy(),
         disps=video.disps[:n].numpy().copy(),
+        disps_sens=video.disps_sens[:n].numpy().copy(),
     )
 
 
-def _run_ours(frames):
+def _run_ours(frames, stereo=False, rgbd=False):
     os.environ.setdefault("DROID_FUSED_FRAME", "0")
     from droid_slam_tpu.config import DroidConfig
     from droid_slam_tpu.slam import Droid
@@ -120,10 +133,12 @@ def _run_ours(frames):
     cfg = DroidConfig(buffer=32, image_size=(H, W), warmup=WARMUP,
                       filter_thresh=FILTER_THRESH,
                       keyframe_thresh=KEYFRAME_THRESH,
-                      motion_damping=0.0, weights=CKPT, **FRONTEND)
+                      motion_damping=0.0, weights=CKPT,
+                      stereo=stereo, depth=rgbd, **FRONTEND)
     droid = Droid(cfg)
-    for t, img, intr in frames:
-        droid.track(float(t), img, intrinsics=intr)
+    for t, img, depth, intr in frames:
+        droid.track(float(t), img if stereo else img[0],
+                    depth=depth, intrinsics=intr)
     droid.flush()
 
     n = droid.video.counter
@@ -134,29 +149,23 @@ def _run_ours(frames):
         edges=sorted(zip(g.ii.tolist(), g.jj.tolist())),
         poses=np.asarray(droid.video.buf.poses[:n]).copy(),
         disps=np.asarray(droid.video.buf.disps[:n]).copy(),
+        disps_sens=np.asarray(droid.video.buf.disps_sens[:n]).copy(),
     )
 
 
-@pytest.mark.slow
-@pytest.mark.skipif(not HAS_REF, reason="reference checkout not available")
-@pytest.mark.skipif(not os.path.exists(CKPT), reason="trained ckpt missing")
-def test_inference_pipeline_matches_reference():
-    frames = _stream()
-    params = _params()
-    ref = _run_reference(frames, params)
-    ours = _run_ours(frames)
-
+def _assert_golden(ref, ours, check_rejects=True):
     # ---- decisions: admissions + keyframe removals -----------------------
     assert ours["counter"] == ref["counter"], (ours["tstamps"], ref["tstamps"])
     assert ours["tstamps"] == ref["tstamps"]
-    # the stream must actually exercise both paths for this test to mean
-    # anything: frames rejected by the motion filter AND keyframes removed
-    admitted = set(ref["tstamps"])
-    assert len(admitted) < N_FRAMES                      # rejects happened
-    assert any(t not in admitted and t > ref["tstamps"][2]
-               for t in map(float, range(N_FRAMES)))     # incl. post-warmup
-    # removals: more admissions than surviving keyframes.
-    # (counter < number of frames that ever passed the motion filter)
+    if check_rejects:
+        # the stream must actually exercise both paths for this test to mean
+        # anything: frames rejected by the motion filter AND keyframes removed
+        admitted = set(ref["tstamps"])
+        assert len(admitted) < N_FRAMES                  # rejects happened
+        assert any(t not in admitted and t > ref["tstamps"][2]
+                   for t in map(float, range(N_FRAMES)))  # incl. post-warmup
+        # removals: more admissions than surviving keyframes.
+        # (counter < number of frames that ever passed the motion filter)
 
     # ---- edge sets --------------------------------------------------------
     assert ours["edges"] == ref["edges"]
@@ -176,3 +185,48 @@ def test_inference_pipeline_matches_reference():
     dd = np.abs(ours["disps"] - ref["disps"])
     assert dd.mean() < 0.15, dd.mean()
     assert np.quantile(dd, 0.9) < 0.3, np.quantile(dd, 0.9)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not HAS_REF, reason="reference checkout not available")
+@pytest.mark.skipif(not os.path.exists(CKPT), reason="trained ckpt missing")
+def test_inference_pipeline_matches_reference():
+    frames = _stream()
+    params = _params()
+    ref = _run_reference(frames, params)
+    ours = _run_ours(frames)
+    _assert_golden(ref, ours)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not HAS_REF, reason="reference checkout not available")
+@pytest.mark.skipif(not os.path.exists(CKPT), reason="trained ckpt missing")
+def test_stereo_pipeline_matches_reference():
+    """Stereo golden parity (VERDICT r3 item 3): fixed-baseline (i,i) edges
+    with the wu/wv pose-block zeroing (droid_kernels.cu:228-238,332,365) must
+    produce identical decisions/edges and float-tolerance state."""
+    frames = _stream(stereo=True)
+    params = _params()
+    ref = _run_reference(frames, params, stereo=True)
+    ours = _run_ours(frames, stereo=True)
+    assert any(i == j for i, j in ref["edges"])      # stereo edges exist
+    _assert_golden(ref, ours)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not HAS_REF, reason="reference checkout not available")
+@pytest.mark.skipif(not os.path.exists(CKPT), reason="trained ckpt missing")
+def test_rgbd_pipeline_matches_reference():
+    """RGB-D golden parity (VERDICT r3 item 3): disps_sens [3::8,3::8]
+    subsample (depth_video.py:96-97), the frontend sensor overwrite
+    (droid_frontend.py:84-88) and the alpha=0.05 sensor prior
+    (droid_kernels.cu:1404-1408) end-to-end."""
+    frames = _stream(rgbd=True)
+    params = _params()
+    ref = _run_reference(frames, params)
+    ours = _run_ours(frames, rgbd=True)
+    # the sensor depth actually participated, identically on both sides
+    assert (ref["disps_sens"] > 0).all()
+    np.testing.assert_allclose(ours["disps_sens"], ref["disps_sens"],
+                               rtol=0, atol=1e-6)
+    _assert_golden(ref, ours)
