@@ -37,6 +37,9 @@ from .solver import solve_psd
 
 ALPHA = 0.05  # depth-sensor prior weight (droid_kernels.cu:1405)
 _SCHUR_CHUNK = 8
+# window size from which the pose grid goes flat-lane + fori_loop
+# (global-BA scale; see _scatter_pose_mat_flat). Module-level for tests.
+_BIG_NW = 256
 
 
 def _schur_assembly() -> str:
@@ -217,6 +220,19 @@ def _scatter_pose_mat(blocks, pi, pj, NW, n_free):
     return out[:-1].reshape(NW, NW, 6, 6)
 
 
+def _scatter_pose_mat_flat(blocks, pi, pj, NW, n_free):
+    """[NW*NW, 36] flat-lane variant for global-BA windows: a
+    [NW,NW,6,6]-shaped grid tile-pads each 6x6 block to (8,128) on TPU —
+    16x memory, 4 GB at NW=1024 (measured OOM, round 4). Keeping the 36
+    block entries in the lane dimension caps the padding at 128/36."""
+    valid = (pi >= 0) & (pj >= 0) & (pi < n_free) & (pj < n_free)
+    idx = jnp.where(valid, pi * NW + pj, NW * NW)
+    out = jax.ops.segment_sum(
+        blocks.reshape(-1, 36) * valid[:, None].astype(blocks.dtype), idx,
+        num_segments=NW * NW + 1)
+    return out[:-1]
+
+
 def _scatter_pose_vec(vecs, pi, NW, n_free):
     valid = (pi >= 0) & (pi < n_free)
     idx = jnp.where(valid, pi, NW)
@@ -301,8 +317,14 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
         pj = plan.jj - plan.t0
         # one fused scatter for all four quadrant block sets (and one for
         # both rhs halves): the separate [E,6,6] scatters are launch/layout
-        # overhead at these sizes (~35 us each x 4 x 2 GN x 5 iterations)
-        A = _scatter_pose_mat(
+        # overhead at these sizes (~35 us each x 4 x 2 GN x 5 iterations).
+        # Global-BA windows (NW >= 256) keep the pose grid flat-lane
+        # ([NW*NW,36]) and run the Schur chunk loop as a fori_loop — see
+        # _scatter_pose_mat_flat; frontend windows keep the exact original
+        # program (measured fastest at those sizes).
+        big_nw = NW >= _BIG_NW and not shape.motion_only
+        scat_mat = _scatter_pose_mat_flat if big_nw else _scatter_pose_mat
+        A = scat_mat(
             jnp.concatenate([Hii, Hij, Hji, Hjj], axis=0),
             jnp.concatenate([pi, pi, pj, pj]),
             jnp.concatenate([pi, pj, pi, pj]), NW, n_free)
@@ -340,16 +362,16 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
         # default (see _schur_assembly for the measured A/B vs the
         # scatter-free one-hot contraction kept behind
         # DROID_SCHUR_ASSEMBLY=proj).
-        use_proj = _schur_assembly() == "proj"
+        use_proj = _schur_assembly() == "proj" and not big_nw
         qw = Q * wz
         prec = edge_terms.ba_precision()
-        S = (jnp.zeros((NW, NW, 6, 6), jnp.float32) if use_proj
-             else jnp.zeros((NW * NW + 1, 6, 6), jnp.float32))
-        for c0 in range(0, NW, _SCHUR_CHUNK):
-            idx = plan.rk_idx[c0:c0 + _SCHUR_CHUNK]          # [CK,RMAX]
+
+        def schur_chunk(idx, Qc):
+            """One row-group chunk's [CK*RMAX*RMAX] block contributions as
+            (G [*,6,6-or-36], bins [*])."""
             mask = idx >= 0
             F = Erows[jnp.clip(idx, 0)] * mask[..., None, None]
-            Fq = F * Q[c0:c0 + _SCHUR_CHUNK, None, None, :]
+            Fq = F * Qc[:, None, None, :]
             CK = F.shape[0]
             G = jnp.einsum("kah,kbh->kab",
                            Fq.reshape(CK, RMAX * 6, hw),
@@ -360,29 +382,54 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
             p1 = p[:, :, None]
             p2 = p[:, None, :]
             bins = jnp.where((p1 >= 0) & (p2 >= 0), p1 * NW + p2, NW * NW)
-            if use_proj:
-                # one flat MXU contraction instead of a 6x6-block scatter:
-                # out[s,u] = sum_e onehot[e,s] * G[e,u]
-                oh = (bins.reshape(-1)[:, None]
-                      == jnp.arange(NW * NW)[None, :]).astype(jnp.float32)
-                S = S + jax.lax.dot_general(
-                    oh, G.reshape(CK * RMAX * RMAX, 36),
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).reshape(NW, NW, 6, 6)
-                continue
-            S = S + jax.ops.segment_sum(
-                G.reshape(CK * RMAX * RMAX, 6, 6),
-                bins.reshape(-1), num_segments=NW * NW + 1)
-        if not use_proj:
-            S = S[:-1].reshape(NW, NW, 6, 6)
+            return G, bins.reshape(-1)
+
+        if big_nw:
+            # fori_loop (the frontend's unrolled form would be a 128-body
+            # HLO at NW=1024) accumulating into the flat-lane grid
+            def sbody(c, S):
+                c0 = c * _SCHUR_CHUNK
+                idx = jax.lax.dynamic_slice_in_dim(plan.rk_idx, c0,
+                                                   _SCHUR_CHUNK)
+                Qc = jax.lax.dynamic_slice_in_dim(Q, c0, _SCHUR_CHUNK)
+                G, bins = schur_chunk(idx, Qc)
+                return S + jax.ops.segment_sum(
+                    G.reshape(-1, 36), bins, num_segments=NW * NW + 1)
+            S = jax.lax.fori_loop(
+                0, NW // _SCHUR_CHUNK, sbody,
+                jnp.zeros((NW * NW + 1, 36), jnp.float32))[:-1]
+        else:
+            S = (jnp.zeros((NW, NW, 6, 6), jnp.float32) if use_proj
+                 else jnp.zeros((NW * NW + 1, 6, 6), jnp.float32))
+            for c0 in range(0, NW, _SCHUR_CHUNK):
+                G, bins = schur_chunk(plan.rk_idx[c0:c0 + _SCHUR_CHUNK],
+                                      Q[c0:c0 + _SCHUR_CHUNK])
+                CK = G.shape[0]
+                if use_proj:
+                    # one flat MXU contraction instead of a 6x6-block
+                    # scatter: out[s,u] = sum_e onehot[e,s] * G[e,u]
+                    oh = (bins[:, None]
+                          == jnp.arange(NW * NW)[None, :]).astype(
+                              jnp.float32)
+                    S = S + jax.lax.dot_general(
+                        oh, G.reshape(CK * RMAX * RMAX, 36),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(NW, NW, 6, 6)
+                    continue
+                S = S + jax.ops.segment_sum(
+                    G.reshape(CK * RMAX * RMAX, 6, 6),
+                    bins, num_segments=NW * NW + 1)
+            if not use_proj:
+                S = S[:-1].reshape(NW, NW, 6, 6)
 
         # ---- S_rhs = E Q w per pose --------------------------------------
         dwr = jnp.einsum("rdh,rh->rd", Erows, qw[plan.row_depth],
                          precision=prec)
         S_rhs = _scatter_pose_vec(dwr * rp_ok[:, None], rp, NW, n_free)
 
-        M = (A - S).transpose(0, 2, 1, 3).reshape(NW * 6, NW * 6)
+        AS = ((A - S).reshape(NW, NW, 6, 6) if big_nw else (A - S))
+        M = AS.transpose(0, 2, 1, 3).reshape(NW * 6, NW * 6)
         rhs = (v - S_rhs).reshape(NW * 6)
         dx = _solve_pose_system(M, rhs, p_valid, lm, ep).reshape(NW, 6)
 

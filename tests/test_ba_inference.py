@@ -303,3 +303,39 @@ def test_edge_chunked_linearization_bit_exact(rng, monkeypatch):
         outs[chunk] = jax.tree.map(np.asarray, fn(shape, *args))
     np.testing.assert_array_equal(outs["16"][0], outs["100000"][0])
     np.testing.assert_array_equal(outs["16"][1], outs["100000"][1])
+
+
+def test_big_window_flat_assembly_bit_exact(rng, monkeypatch):
+    """The global-BA assembly path (flat-lane [NW*NW,36] pose grid +
+    fori_loop Schur accumulation, engaged at NW >= _BIG_NW) is bit-identical
+    to the frontend's unrolled [NW,NW,6,6] form — same adds, same order."""
+    import jax
+
+    B, h, w = 12, 8, 10
+    poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32), (B, 1))
+    poses[:, :3] += 0.1 * rng.normal(size=(B, 3)).astype(np.float32)
+    disps = (1.0 + 0.2 * rng.uniform(size=(B, h, w))).astype(np.float32)
+    disps_sens = np.zeros((B, h, w), np.float32)
+    damping = 0.1 * np.ones((B, h, w), np.float32)
+    intr = np.array([50., 50., w / 2, h / 2], np.float32)
+    E, NW = 40, 8
+    ii = rng.integers(0, NW, E)
+    jj = (ii + 1 + rng.integers(0, 3, E)) % NW
+    target = (rng.uniform(size=(E, 2, h * w))
+              * np.array([w, h], np.float64)[None, :, None]).astype(np.float32)
+    weight = rng.uniform(size=(E, 2, h * w)).astype(np.float32)
+
+    shape, plan = inference.build_plan(ii, jj, 1, NW, iters=2)
+    pad = ((0, shape.edges - E), (0, 0), (0, 0))
+    args = (jnp.asarray(poses), jnp.asarray(disps), jnp.asarray(disps_sens),
+            jnp.asarray(damping), jnp.asarray(intr),
+            jnp.asarray(np.pad(target, pad)), jnp.asarray(np.pad(weight, pad)),
+            plan, jnp.asarray(1e-4), jnp.asarray(0.1))
+
+    outs = {}
+    for thr in (8, 10 ** 6):   # NW bucket is 16: 8 engages, 1e6 doesn't
+        monkeypatch.setattr(inference, "_BIG_NW", thr)
+        fn = jax.jit(inference.ba_iterations, static_argnames=("shape",))
+        outs[thr] = jax.tree.map(np.asarray, fn(shape, *args))
+    np.testing.assert_array_equal(outs[8][0], outs[10 ** 6][0])
+    np.testing.assert_array_equal(outs[8][1], outs[10 ** 6][1])
