@@ -23,6 +23,7 @@ def test_demo_cli(tmp_path):
     calib = tmp_path / "calib.txt"
     calib.write_text("120.0 120.0 80.0 60.0\n")
     traj_path = tmp_path / "traj.txt"
+    shot_path = tmp_path / "recon.png"
 
     env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
                JAX_COMPILATION_CACHE_DIR=os.path.expanduser(
@@ -32,10 +33,14 @@ def test_demo_cli(tmp_path):
          "--calib", str(calib), "--warmup", "5",
          "--filter_thresh", "-1", "--keyframe_thresh", "-1",
          "--buffer", "32", "--backend_steps",
-         "--trajectory_path", str(traj_path)],
+         "--trajectory_path", str(traj_path),
+         "--screenshot", str(shot_path)],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env, capture_output=True, text=True, timeout=2400)
     assert out.returncode == 0, out.stderr[-2000:]
     traj = np.loadtxt(traj_path)
     assert traj.shape[1] == 7
     assert np.isfinite(traj).all()
+    # the headless reconstruction render (eval/viewer.py rasterizer)
+    shot = cv2.imread(str(shot_path))
+    assert shot is not None and shot.shape == (480, 640, 3), out.stderr[-500:]
