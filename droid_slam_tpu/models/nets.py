@@ -131,6 +131,12 @@ def gru_context_pre(params, inp):
 # an env-gated experiment; see BENCH_NOTES round-4 log.
 _GRU_PALLAS_ENV = __import__("os").environ.get("DROID_GRU_PALLAS", "")
 
+# DROID_GRU_QFUSE: q-path analog of the shipped zr-conv fusion (one 320->128
+# conv over [r*net | inp] instead of conv(r*net) + a separate cfq round
+# trip). Read once at import for the same compile-key-freezing reason as
+# DROID_GRU_PALLAS above. Default off until the TPU A/B lands (BENCH_NOTES).
+_GRU_QFUSE = __import__("os").environ.get("DROID_GRU_QFUSE", "0") == "1"
+
 
 def _gru_pallas_mode():
     env = _GRU_PALLAS_ENV
@@ -210,10 +216,22 @@ def conv_gru(params, net, inp, pre=None, pallas_ok=False):
     zr = _conv_nobias(x, wzr_x.astype(net.dtype)) + pre_zr + bzr.astype(net.dtype)
     z = jax.nn.sigmoid(zr[..., :128] + gz)
     r = jax.nn.sigmoid(zr[..., 128:] + gr)
-    cfq = _conv_nobias(inp, wq[:, :, 256:].astype(inp.dtype))    # [E,h,w,128]
-    q = jnp.tanh(_conv_nobias(r * net, wq[:, :, :128].astype(net.dtype))
-                 + cfq
-                 + pre_q + bq.astype(net.dtype) + gq)
+    if _GRU_QFUSE:
+        # same fusion for the q contraction: ONE 320->128 conv over
+        # [r*net | inp] (the r*net and corr/flow weight columns of convq in
+        # one f32 accumulator) — the separate cfq [E,h,w,128] HBM round
+        # trip collapses into this conv's input/epilogue. Identical FLOPs;
+        # f32-reassociation-level equal (pinned in tests/test_nets.py).
+        wq_x = jnp.concatenate([wq[:, :, :128], wq[:, :, 256:]], axis=2)
+        q = jnp.tanh(_conv_nobias(
+            jnp.concatenate([r * net, inp], axis=-1),
+            wq_x.astype(net.dtype))
+            + pre_q + bq.astype(net.dtype) + gq)
+    else:
+        cfq = _conv_nobias(inp, wq[:, :, 256:].astype(inp.dtype))
+        q = jnp.tanh(_conv_nobias(r * net, wq[:, :, :128].astype(net.dtype))
+                     + cfq
+                     + pre_q + bq.astype(net.dtype) + gq)
     return (1.0 - z) * net + z * q
 
 

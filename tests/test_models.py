@@ -189,6 +189,24 @@ def test_conv_gru_pre_matches_monolithic(rng):
                                atol=2e-5, rtol=1e-5)
 
 
+def test_conv_gru_qfuse_matches_default(rng, monkeypatch):
+    """DROID_GRU_QFUSE=1 (one 320->128 conv over [r*net|inp] absorbing the
+    cfq round trip) must match the split q path: same weight columns contract
+    the same inputs, one f32 accumulator, so equal up to f32 reassociation."""
+    params = nets.init_params(jax.random.PRNGKey(1))
+    E, h, w = 3, 8, 8
+    net = jnp.asarray(rng.normal(size=(E, h, w, 128)).astype(np.float32))
+    inp = jnp.asarray(rng.normal(size=(E, h, w, 128)).astype(np.float32))
+    cf = jnp.asarray(rng.normal(size=(E, h, w, 192)).astype(np.float32))
+    pre = nets.gru_context_pre(params, inp)
+
+    base = nets.conv_gru(params, net, cf, pre=pre)
+    monkeypatch.setattr(nets, "_GRU_QFUSE", True)
+    fused = nets.conv_gru(params, net, cf, pre=pre)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_update_module_pre_and_deferred_upmask(rng):
     """update_module(pre=..., compute_upmask=False) + a post-hoc graph_agg on
     the returned net must reproduce the in-loop eta/upmask of the plain call
