@@ -285,21 +285,36 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
     # caps the transient at chunk/E of the full size. Frontend-scale systems
     # (E <= chunk) keep the single-pass form — identical program to before.
     echunk = _ba_edge_chunk()
-    chunked = (not shape.motion_only) and E > echunk and E % echunk == 0
+    chunked = (not shape.motion_only) and E > echunk
 
     def _edge_blocks(poses, disps):
-        def body(c, _):
-            s = c * echunk
-            sl = lambda v: jax.lax.dynamic_slice_in_dim(v, s, echunk)
+        n_full = E // echunk
+        rem = E - n_full * echunk  # static remainder chunk (round 4: a
+        # divisibility guard here silently disabled chunking at E=32832 and
+        # the full-edge [E,2,6,HW] transients OOM'd the t=1000 global BA)
+
+        def lin(s, n):
+            sl = lambda v: jax.lax.dynamic_slice_in_dim(v, s, n)
             t = edge_terms.linearize(
                 poses, disps, intr_all, sl(target), sl(weight),
                 sl(plan.ii), sl(plan.jj), edge_valid=sl(plan.edge_valid),
                 min_depth=0.25, zero_stereo_pose=True)
-            return c + 1, (edge_terms.pose_blocks(t),
-                           edge_terms.depth_blocks(t))
-        _, (Hs, Ds) = jax.lax.scan(body, 0, None, length=E // echunk)
-        flat = lambda x: x.reshape(E, *x.shape[2:])
-        return tuple(map(flat, Hs)), tuple(map(flat, Ds))
+            return (edge_terms.pose_blocks(t), edge_terms.depth_blocks(t))
+
+        def body(c, _):
+            out = lin(c * echunk, echunk)
+            return c + 1, out
+        _, (Hs, Ds) = jax.lax.scan(body, 0, None, length=n_full)
+        flat = lambda x: x.reshape(n_full * echunk, *x.shape[2:])
+        Hs = tuple(map(flat, Hs))
+        Ds = tuple(map(flat, Ds))
+        if rem:
+            Ht, Dt = lin(n_full * echunk, rem)
+            Hs = tuple(jnp.concatenate([a, b], axis=0)
+                       for a, b in zip(Hs, Ht))
+            Ds = tuple(jnp.concatenate([a, b], axis=0)
+                       for a, b in zip(Ds, Dt))
+        return Hs, Ds
 
     def gn_iteration(state, _):
         poses, disps = state

@@ -296,13 +296,18 @@ def test_edge_chunked_linearization_bit_exact(rng, monkeypatch):
             plan, jnp.asarray(1e-4), jnp.asarray(0.1))
 
     outs = {}
-    # shape.edges buckets to 64; chunk 16 => 4 chunks vs 1 full pass
-    for chunk in ("16", "100000"):
+    # shape.edges buckets to 64; chunk 16 => 4 chunks vs 1 full pass; chunk
+    # 24 => 2 full chunks + a 16-edge REMAINDER chunk (round 4: a
+    # divisibility guard silently skipped chunking at the real t=1000 edge
+    # count and the un-chunked linearization OOM'd the global BA)
+    for chunk in ("16", "24", "100000"):
         monkeypatch.setenv("DROID_BA_EDGE_CHUNK", chunk)
         fn = jax.jit(inference.ba_iterations, static_argnames=("shape",))
         outs[chunk] = jax.tree.map(np.asarray, fn(shape, *args))
     np.testing.assert_array_equal(outs["16"][0], outs["100000"][0])
     np.testing.assert_array_equal(outs["16"][1], outs["100000"][1])
+    np.testing.assert_array_equal(outs["24"][0], outs["100000"][0])
+    np.testing.assert_array_equal(outs["24"][1], outs["100000"][1])
 
 
 def test_big_window_flat_assembly_bit_exact(rng, monkeypatch):
