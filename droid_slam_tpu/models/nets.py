@@ -134,8 +134,12 @@ _GRU_PALLAS_ENV = __import__("os").environ.get("DROID_GRU_PALLAS", "")
 # DROID_GRU_QFUSE: q-path analog of the shipped zr-conv fusion (one 320->128
 # conv over [r*net | inp] instead of conv(r*net) + a separate cfq round
 # trip). Read once at import for the same compile-key-freezing reason as
-# DROID_GRU_PALLAS above. Default off until the TPU A/B lands (BENCH_NOTES).
-_GRU_QFUSE = __import__("os").environ.get("DROID_GRU_QFUSE", "0") == "1"
+# DROID_GRU_PALLAS above. Default ON: measured 18.10 median (18.10/18.25
+# steady windows) vs 16.92-16.96 for the split form on real v5e — the
+# single 320-ch conv lets XLA fuse the whole q epilogue into one MXU
+# kernel chain instead of two convs bridged by an elementwise add
+# (round-4 A/B, BENCH_NOTES). DROID_GRU_QFUSE=0 restores the split form.
+_GRU_QFUSE = __import__("os").environ.get("DROID_GRU_QFUSE", "1") == "1"
 
 
 def _gru_pallas_mode():
