@@ -131,7 +131,7 @@ def main():
     # buffer must cover warmup + the MAX retry-window frame count (every
     # frame is admitted and kept): 26 + 6*12 = 98. At 64 a variance-retry
     # run crashed with "DepthVideo buffer full" (round-4 bench_async.err).
-    cfg = DroidConfig(buffer=128, image_size=(H, W), warmup=8,
+    cfg = DroidConfig(buffer=104, image_size=(H, W), warmup=8,
                       filter_thresh=-1.0,      # admit every frame
                       keyframe_thresh=-1.0,    # keep every keyframe
                       frontend_window=20, frontend_thresh=17.5,
