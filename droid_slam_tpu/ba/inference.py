@@ -55,12 +55,18 @@ def _schur_assembly() -> str:
     return os.environ.get("DROID_SCHUR_ASSEMBLY", "scatter")
 
 
+# Edge-chunk size for the Gauss-Newton linearization (global-BA scale, see
+# ba_iterations): bounds the per-edge pixel transients to
+# chunk x HW x ~80 bytes. 2048 x 1200 px ~= 200 MB peak per chunk.
+# Frozen at import (like nets._GRU_QFUSE): the value is baked into traced
+# programs and is NOT part of any jit cache key, so changing the env after
+# first compile would silently do nothing. Tests monkeypatch the constant.
+_BA_EDGE_CHUNK = int(
+    __import__("os").environ.get("DROID_BA_EDGE_CHUNK", "2048"))
+
+
 def _ba_edge_chunk() -> int:
-    """Edge-chunk size for the Gauss-Newton linearization (global-BA scale,
-    see ba_iterations): bounds the per-edge pixel transients to
-    chunk x HW x ~80 bytes. 2048 x 1200 px ~= 200 MB peak per chunk."""
-    import os
-    return int(os.environ.get("DROID_BA_EDGE_CHUNK", "2048"))
+    return _BA_EDGE_CHUNK
 
 
 def _evt_quirk() -> bool:
@@ -401,7 +407,14 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
 
         if big_nw:
             # fori_loop (the frontend's unrolled form would be a 128-body
-            # HLO at NW=1024) accumulating into the flat-lane grid
+            # HLO at NW=1024) accumulating into the flat-lane grid.
+            # The loop covers exactly NW rows — a remainder chunk would be
+            # silently dropped, so refuse windows that don't divide (all
+            # WINDOW_BUCKETS are powers of two, but build_plan(window=...)
+            # is public).
+            assert NW % _SCHUR_CHUNK == 0, (
+                f"big-window Schur path needs window % {_SCHUR_CHUNK} == 0, "
+                f"got {NW}")
             def sbody(c, S):
                 c0 = c * _SCHUR_CHUNK
                 idx = jax.lax.dynamic_slice_in_dim(plan.rk_idx, c0,

@@ -67,9 +67,13 @@ PRESETS = {
     "tum": DroidConfig(
         buffer=512, image_size=(240, 320), beta=0.3, filter_thresh=1.5,
         warmup=12, keyframe_thresh=2.0, frontend_thresh=12.0,
-        frontend_window=25, frontend_radius=2, frontend_nms=2,
+        frontend_window=25, frontend_radius=2, frontend_nms=1,
         backend_thresh=20.0, backend_radius=2, backend_nms=3,
         motion_damping=0.5),
+    # eth3d: the reference argparse default is [240,320] but the stream
+    # ignores it and resizes every sequence to ~sqrt(384*512) area
+    # (test_eth3d.py:36-41); evaluation_scripts/test_eth3d.py here does the
+    # same, overriding image_size per sequence.
     "eth3d": DroidConfig(
         buffer=1024, beta=0.5, filter_thresh=2.0, warmup=8,
         keyframe_thresh=3.5, frontend_thresh=16.0, frontend_window=20,

@@ -200,6 +200,9 @@ def test_conv_gru_qfuse_matches_default(rng, monkeypatch):
     cf = jnp.asarray(rng.normal(size=(E, h, w, 192)).astype(np.float32))
     pre = nets.gru_context_pre(params, inp)
 
+    # _GRU_QFUSE defaults to True — force the split path for the baseline
+    # so this actually compares split vs fused (advisor r4 finding).
+    monkeypatch.setattr(nets, "_GRU_QFUSE", False)
     base = nets.conv_gru(params, net, cf, pre=pre)
     monkeypatch.setattr(nets, "_GRU_QFUSE", True)
     fused = nets.conv_gru(params, net, cf, pre=pre)

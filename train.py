@@ -136,11 +136,13 @@ def main():
     N = args.n_frames
     total_steps = start_step
 
-    # frame-graph cache: build_frame_graph is deterministic per clip and its
-    # flow-distance matrix runs on device — caching it (and the numpy pose
-    # inverse in collate) keeps the steady-state data path pure-host, so
-    # batch prep genuinely overlaps device execution below.
+    # frame-graph cache: only valid when db[idx] is deterministic per index
+    # (SyntheticBox caches its rendered clips). TartanAir draws a random
+    # covisibility walk + augmentation per call, so a cached graph would
+    # describe a DIFFERENT sampled clip and break the fmin/fmax flow bounds
+    # the reference guarantees by rebuilding per step (train.py:88-94).
     graph_cache: dict = {}
+    graph_cache_ok = "synthetic" in args.datasets
 
     def prepare_batch():
         idx = rng.integers(0, len(db), size=args.batch)
@@ -149,12 +151,13 @@ def main():
         # so edge lists stay static per step
         if rng.random() < 0.5:
             k = int(idx[0])
-            graph = graph_cache.get(k)
+            graph = graph_cache.get(k) if graph_cache_ok else None
             if graph is None:
                 s0 = samples[0]
                 graph = build_frame_graph(s0[1], s0[2], s0[3],
                                           num=args.edges)
-                graph_cache[k] = graph
+                if graph_cache_ok:
+                    graph_cache[k] = graph
         else:
             graph = {i: [j for j in range(N) if i != j and abs(i - j) <= 2]
                      for i in range(N)}
