@@ -20,6 +20,31 @@ from .motion_filter import MotionFilter
 from .trajectory_filler import PoseTrajectoryFiller
 
 
+def _dump_compiled_hlo(tag, jit_fn, args, key):
+    """DROID_DUMP_HLO_DIR diagnostic: write the TPU-optimized HLO of a
+    frame program (post layout assignment/fusion — the op names match the
+    xplane profile's) to <dir>/<tag>_<key>.txt. lower().compile() hits the
+    executable cache, so this costs one retrace, not a recompile."""
+    import os
+    d = os.environ.get("DROID_DUMP_HLO_DIR", "")
+    if not d:
+        return
+    path = os.path.join(d, f"{tag}_{key}.txt")
+    if path in _dump_compiled_hlo._seen or os.path.exists(path):
+        return
+    _dump_compiled_hlo._seen.add(path)
+    os.makedirs(d, exist_ok=True)
+    try:
+        txt = jit_fn.lower(*args).compile().as_text()
+    except Exception as e:  # diagnostics must never break tracking
+        txt = f"dump failed: {e!r}"
+    with open(path, "w") as f:
+        f.write(txt)
+
+
+_dump_compiled_hlo._seen = set()
+
+
 class TrackPipeline:
     """Shared per-frame tracking pipeline (sync Droid + DroidAsync):
     1-frame-deferred decisions with prefetched readbacks, and the
@@ -160,8 +185,7 @@ class TrackPipeline:
         # protocol, depth_video.py:111-134). Uncontended acquisition in the
         # sync pipeline is ~100 ns.
         with v.get_lock():
-            (buf_mid, g.pyramid, g.target_inac, g.weight_inac, st, kf_dist,
-             gmap, net1, inp1, out_vec) = fused_frame.frame_step_a(
+            a_args = (
                 self.params, v.buf, g.net, g.target, g.weight, g.pyramid,
                 g.target_inac, g.weight_inac,
                 wf_values, wf_fields,
@@ -171,12 +195,18 @@ class TrackPipeline:
                 np.int32(sc["do_next_state"]),
                 np.float32(sc["motion_damping"]), np.float32(beta),
                 image_dev, *spec)
+            if run_upd:
+                _dump_compiled_hlo(
+                    "frame_a", fused_frame.frame_step_a, a_args,
+                    f"nw{tb['nw']}_ea{tb['EA']}_it{sc['n_iters']}")
+            (buf_mid, g.pyramid, g.target_inac, g.weight_inac, st, kf_dist,
+             gmap, net1, inp1, out_vec) = fused_frame.frame_step_a(*a_args)
             try:
                 out_vec.copy_to_host_async()
             except Exception:
                 pass
 
-            (v.buf, g.net, g.target, g.weight) = fused_frame.frame_step_b(
+            b_args = (
                 self.params, buf_mid, g.pyramid, g.target_inac, g.weight_inac,
                 st, kf_dist,
                 packed_frame, len(ae_ii), len(pi),
@@ -184,6 +214,12 @@ class TrackPipeline:
                 g.upsample, np.int32(sc["do_next_state"]),
                 np.float32(sc["motion_damping"]), np.int32(sc["n_iters2"]),
                 np.float32(sc["kf_thresh"]), *spec[:4])
+            if run_upd:
+                _dump_compiled_hlo(
+                    "frame_b", fused_frame.frame_step_b, b_args,
+                    f"nw{tb['nw']}_ea{tb['EA']}_it{sc['n_iters2']}")
+            (v.buf, g.net, g.target, g.weight) = fused_frame.frame_step_b(
+                *b_args)
 
         self._pending_vec = out_vec
         self._pending_ran_upd = run_upd

@@ -96,16 +96,22 @@ def test_dense_cm_matches_gather(rng, cols_order):
 
 
 def test_cm_pyramid_matches_std(rng):
-    """build_pyramid_cm levels == transposed build_pyramid levels, and the
-    full cm pyramid lookup equals the standard dense path bit-for-bit."""
+    """build_pyramid_cm levels == transposed build_pyramid levels (up to
+    f32 reassociation: cm pools fmap2 BEFORE the dot — mean-of-dots ==
+    dot-with-mean — while std pools the volume after), and the cm pyramid
+    lookup matches the standard dense path to the same tolerance."""
     E, h, w = 2, 8, 16
     f1 = jnp.asarray(rng.normal(size=(E, h, w, 8)).astype(np.float32))
     f2 = jnp.asarray(rng.normal(size=(E, h, w, 8)).astype(np.float32))
     pyr = corr.build_pyramid(f1, f2)
     pyr_cm = corr.build_pyramid_cm(f1, f2)
-    for v, vc in zip(pyr, pyr_cm):
-        np.testing.assert_array_equal(np.asarray(v),
-                                      np.asarray(vc).transpose(0, 3, 1, 2))
+    # L0 has no pooling: bit-equal. Pooled levels: reassociation only.
+    np.testing.assert_array_equal(
+        np.asarray(pyr[0]), np.asarray(pyr_cm[0]).transpose(0, 3, 1, 2))
+    for v, vc in zip(pyr[1:], pyr_cm[1:]):
+        np.testing.assert_allclose(np.asarray(v),
+                                   np.asarray(vc).transpose(0, 3, 1, 2),
+                                   rtol=1e-5, atol=1e-5)
     coords = jnp.asarray((rng.uniform(size=(E, h * w, 2)) *
                           np.array([w, h])).astype(np.float32))
     a = np.asarray(corr.lookup_pyramid_cm(pyr_cm, coords,
@@ -113,4 +119,4 @@ def test_cm_pyramid_matches_std(rng):
     b = np.concatenate(
         [np.asarray(corr._lookup_level_dense(v, coords / (2.0 ** l), 3))
          for l, v in enumerate(pyr)], axis=-1)
-    np.testing.assert_array_equal(a.transpose(0, 2, 1), b)
+    np.testing.assert_allclose(a.transpose(0, 2, 1), b, rtol=1e-5, atol=1e-5)
