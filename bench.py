@@ -240,6 +240,27 @@ def main():
     except Exception as e:  # never let accounting kill the bench number
         result["mfu_error"] = str(e)[:120]
 
+    # the second half of the pipeline (droid.py:71-86): full terminate() —
+    # backend global BA passes (7, 12) + trajectory filler — timed at the
+    # bench state (~98 keyframes). The filler stream interleaves one
+    # fresh non-keyframe per two keyframes so the motion-only BA fill is
+    # actually exercised (every tracked frame was admitted as a keyframe).
+    if not use_async and os.environ.get("BENCH_TERMINATE", "1") == "1":
+        def filler_stream():
+            for k in range(0, t, 2):
+                yield k + 0.5, frame(k) if k % 4 else frame(k + 1), intr
+        try:
+            traj = droid.terminate(stream=filler_stream())
+            ts = dict(droid.terminate_stats)
+            ts["filler_frames"] = (t + 1) // 2
+            ts["keyframes"] = int(droid.video.counter)
+            ts["traj_finite"] = bool(np.isfinite(traj).all())
+            result["terminate"] = ts
+        except Exception as e:  # never let terminate kill the fps record
+            result["terminate_error"] = str(e)[:160]
+        print(json.dumps(result))
+        return
+
     print(json.dumps(result))
     if use_async:
         # stop AND join: letting the daemon thread die at interpreter

@@ -449,18 +449,33 @@ class Droid(TrackPipeline):
 
     def terminate(self, stream=None, backend_steps=(7, 12)):
         """droid.py:71-86: final global BA passes + trajectory fill.
-        Returns the *inverse* (camera-to-world) poses as [T,7] numpy."""
+        Returns the *inverse* (camera-to-world) poses as [T,7] numpy.
+
+        Stage wall times are recorded in ``self.terminate_stats``
+        ({"backend_s": [per-pass], "filler_s": float, "total_s": float}) —
+        bench.py folds them into the official record."""
+        import time as _time
+        t_all = _time.perf_counter()
         if self._vis_stop is not None:
             self._vis_stop.set()
         self.flush()
         del self.frontend
 
+        stats = {"backend_s": [], "filler_s": 0.0}
         for steps in backend_steps:
+            t0 = _time.perf_counter()
             self.backend(steps)
+            jax.block_until_ready(self.video.buf.poses)
+            stats["backend_s"].append(round(_time.perf_counter() - t0, 3))
 
         if stream is not None:
+            t0 = _time.perf_counter()
             traj = self.traj_filler(stream)
+            jax.block_until_ready(traj)
+            stats["filler_s"] = round(_time.perf_counter() - t0, 3)
         else:
             traj = np.asarray(self.video.buf.poses[:self.video.counter])
-        return np.asarray(se3.inv(se3.normalize(
-            jax.numpy.asarray(traj))))
+        out = np.asarray(se3.inv(se3.normalize(jax.numpy.asarray(traj))))
+        stats["total_s"] = round(_time.perf_counter() - t_all, 3)
+        self.terminate_stats = stats
+        return out

@@ -95,28 +95,50 @@ def main():
 
     stages = {"setup_s": round(t_setup, 2)}
     step_times = []
-    orig_fused = None
+    diag = {}
 
-    # instrument the per-step loop: wrap the fused step with a sync + timer
+    # instrument the per-step loop: every global-BA step ends in exactly
+    # one _lowmem_ba_step dispatch (resident AND spilled paths), so timing
+    # from step start (the previous BA's return) to its completion times
+    # the whole sweep+BA step including host<->device nets streaming.
     from droid_slam_tpu.state import graph as graph_mod
-    orig_fused = graph_mod._fused_lowmem_step
+    orig_ba = graph_mod._lowmem_ba_step
+    last = [None]
 
-    def timed_step(*a, **k):
-        tic = time.perf_counter()
-        out = orig_fused(*a, **k)
+    def timed_ba(*a, **k):
+        out = orig_ba(*a, **k)
         jax.block_until_ready(out[0])
-        step_times.append(time.perf_counter() - tic)
+        now = time.perf_counter()
+        if last[0] is not None:
+            step_times.append(now - last[0])
+        last[0] = now
         return out
 
-    graph_mod._fused_lowmem_step = timed_step
+    orig_groups = graph_mod.FactorGraph._lowmem_make_groups
+
+    def spy_groups(self, chunks, *a, **k):
+        groups = orig_groups(self, chunks, *a, **k)
+        diag.update(
+            n_edges=len(self.edges), capacity=self.capacity,
+            spilled=self._lowmem_spilled_last,
+            n_chunks=len(chunks),
+            max_chunk=max(len(v) for v in chunks),
+            n_groups=len(groups),
+            group_shapes=[list(np.asarray(g["ii"]).shape) for g in groups])
+        return groups
+
+    graph_mod._lowmem_ba_step = timed_ba
+    graph_mod.FactorGraph._lowmem_make_groups = spy_groups
     try:
         for i, steps in enumerate(args.steps):
             tic = time.perf_counter()
+            last[0] = tic
             backend(steps=steps, normalize=(i == 0))
             stages[f"backend_pass{i}_steps{steps}_s"] = round(
                 time.perf_counter() - tic, 2)
     finally:
-        graph_mod._fused_lowmem_step = orig_fused
+        graph_mod._lowmem_ba_step = orig_ba
+        graph_mod.FactorGraph._lowmem_make_groups = orig_groups
 
     poses = np.asarray(video.buf.poses[:t])
     disps = np.asarray(video.buf.disps[:t])
@@ -149,6 +171,7 @@ def main():
         "n_steps_total": len(step_times),
         "step_times_s": [round(s, 3) for s in step_times],
         "stages": stages,
+        "graph": diag,
         "health": health,
         "device": str(jax.devices()[0].device_kind),
         "memory": mem,
