@@ -31,15 +31,23 @@ def run(args, seed, weights=None):
     cfg = dataclasses.replace(
         PRESETS["tartanair"], weights=weights,
         image_size=(args.height, args.width), buffer=args.buffer,
-        filter_thresh=args.filter_thresh)
-    droid = Droid(cfg)
+        filter_thresh=args.filter_thresh,
+        asynchronous=getattr(args, "asynchronous", False))
+    if cfg.asynchronous:
+        from droid_slam_tpu.slam.async_droid import DroidAsync
+        droid = DroidAsync(cfg, sleep_time=2.0)
+    else:
+        droid = Droid(cfg)
 
     kw = dict(n_frames=args.n_frames, image_size=(args.height, args.width),
               seed=seed, step=args.step, rot_step=args.rot_step)
     for (t, image, intrinsics) in synthetic_stream(**kw):
         droid.track(float(t), image, intrinsics=intrinsics)
-    traj_est = droid.terminate(synthetic_stream(**kw),
-                               backend_steps=tuple(args.backend_steps))
+    if cfg.asynchronous:
+        traj_est = droid.terminate(synthetic_stream(**kw))
+    else:
+        traj_est = droid.terminate(synthetic_stream(**kw),
+                                   backend_steps=tuple(args.backend_steps))
 
     gt = synthetic_groundtruth(**kw)
     result = evaluate_ate(traj_est[:, :3], gt[:, :3], scale=True)
@@ -59,6 +67,12 @@ def main():
     parser.add_argument("--seeds", type=int, nargs="+", default=[7])
     parser.add_argument("--backend_steps", type=int, nargs="+",
                         default=[7, 12])
+    parser.add_argument("--asynchronous", action="store_true",
+                        help="DroidAsync (concurrent global-BA backend) "
+                             "instead of the sync pipeline — for the "
+                             "async-vs-sync accuracy delta "
+                             "(reference README.md:140 claims async is "
+                             "typically MORE accurate)")
     parser.add_argument("--compare_random", action="store_true",
                         help="also evaluate a random-init model in the same "
                              "process (shares every jit compile with the "
