@@ -203,12 +203,16 @@ class SyntheticBox:
     restart mechanism in the trainer)."""
 
     def __init__(self, n_clips=64, n_frames=7, image_size=(384, 512),
-                 seed=0, box_half=2.0):
+                 seed=0, box_half=2.0, step=0.22, rot_step=0.05):
         self.n_clips = n_clips
         self.n_frames = n_frames
         self.image_size = image_size
         self.seed = seed
         self.box_half = box_half
+        # camera-motion difficulty (fed to random_trajectory): larger
+        # steps/rotations give larger flows and harder covisibility
+        self.step = step
+        self.rot_step = rot_step
         H, W = image_size
         self.intrinsics = np.array([0.8 * W, 0.8 * W, W / 2, H / 2],
                                    np.float32)
@@ -220,7 +224,8 @@ class SyntheticBox:
     def render_clip(self, index):
         rng = np.random.default_rng(self.seed * 100003 + index)
         scene_seed = int(rng.integers(1, 2 ** 20))
-        Rs, ts = random_trajectory(self.n_frames, rng, self.box_half)
+        Rs, ts = random_trajectory(self.n_frames, rng, self.box_half,
+                                   step=self.step, rot_step=self.rot_step)
         images, depths = [], []
         for R, t in zip(Rs, ts):
             img, depth = render_view(R, t, self.intrinsics, self.image_size,

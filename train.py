@@ -64,6 +64,11 @@ def main():
     parser.add_argument("--devices", type=int, default=None)
     parser.add_argument("--synthetic_clips", type=int, default=64,
                         help="clip-bank size for --datasets synthetic")
+    parser.add_argument("--synthetic_step", type=float, default=0.22,
+                        help="synthetic camera translation step "
+                             "(motion difficulty)")
+    parser.add_argument("--synthetic_rot_step", type=float, default=0.05,
+                        help="synthetic camera rotation step")
     parser.add_argument("--image_size", type=int, nargs=2,
                         default=[384, 512],
                         help="clip resolution for --datasets synthetic")
@@ -114,7 +119,9 @@ def main():
         from droid_slam_tpu.data.synthetic import SyntheticBox
         db = SyntheticBox(n_clips=args.synthetic_clips,
                           n_frames=args.n_frames,
-                          image_size=tuple(args.image_size))
+                          image_size=tuple(args.image_size),
+                          step=args.synthetic_step,
+                          rot_step=args.synthetic_rot_step)
     else:
         # crop_size <- --image_size (reference train.py crops TartanAir to
         # 384x512; smaller values give reduced-res runs e.g. for fixtures);
