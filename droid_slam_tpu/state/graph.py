@@ -42,13 +42,15 @@ def _lowmem_spill_cfg():
       DROID_LOWMEM_RESIDENT_GB  when spilling, keep up to this much edge
                              state device-resident across steps (hybrid
                              residency — only the overflow streams;
-                             default 2.5; a pressure retry forces 0)
+                             default 1.0 — a 2.5 GB budget stalled a
+                             t=800 run on the 16 GB chip, round 5; a
+                             pressure retry forces 0)
     """
     import os
     mode = os.environ.get("DROID_LOWMEM_SPILL", "auto")
     thresh = float(os.environ.get("DROID_LOWMEM_SPILL_GB", "3.0"))
     group = float(os.environ.get("DROID_LOWMEM_GROUP_GB", "1.0"))
-    resident = float(os.environ.get("DROID_LOWMEM_RESIDENT_GB", "2.5"))
+    resident = float(os.environ.get("DROID_LOWMEM_RESIDENT_GB", "1.0"))
     return mode, thresh, group, resident
 
 
