@@ -132,6 +132,31 @@ def test_mesh_lowmem_matches_resident(monkeypatch):
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
+def test_spilled_lowmem_upsample_matches_resident(monkeypatch):
+    """The unified sweep's convex-upsample branch (disps_up written per
+    chunk window) must agree between resident and spilled paths."""
+    import jax
+
+    def _run_up(spill):
+        monkeypatch.setenv("DROID_LOWMEM_SPILL", "1" if spill else "0")
+        monkeypatch.setenv("DROID_LOWMEM_GROUP_GB", "0.0005")
+        monkeypatch.setenv("DROID_LOWMEM_RESIDENT_GB", "0")
+        video, graph = _make_video_and_graph(t=24)
+        graph.upsample = True
+        graph.update_lowmem(steps=1)
+        t = video.counter
+        return (np.asarray(video.buf.disps_up[:t]),
+                np.asarray(video.buf.poses[:t]))
+
+    du_r, p_r = _run_up(False)
+    du_s, p_s = _run_up(True)
+    assert np.isfinite(du_r).all()
+    assert np.abs(du_r).max() > 0  # the branch actually wrote something
+    np.testing.assert_allclose(du_s, du_r, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(p_s, p_r, rtol=2e-4, atol=2e-4)
+
+
 def test_memory_pressure_retries_with_spill(monkeypatch):
     """A RESOURCE_EXHAUSTED failure in the resident path must trigger ONE
     retry with spilling forced on (graceful degradation for buffer=1000
