@@ -79,6 +79,10 @@ def main():
     parser.add_argument("--upsample", action="store_true")
     parser.add_argument("--backend_steps", type=int, nargs="*",
                         default=[7, 12])
+    parser.add_argument("--asynchronous", action="store_true",
+                        help="concurrent global-BA backend (DroidAsync; "
+                             "set DROID_ASYNC_PROCESS=1 for the "
+                             "process-isolated variant)")
     parser.add_argument("--reconstruction_path", default=None)
     parser.add_argument("--trajectory_path", default="trajectory.txt")
     parser.add_argument("--disable_vis", action="store_true")
@@ -90,7 +94,7 @@ def main():
     args = parser.parse_args()
 
     from droid_slam_tpu.config import DroidConfig
-    from droid_slam_tpu.slam import Droid
+    from droid_slam_tpu.slam import make_droid
 
     droid = None
     for t, image, intrinsics in image_stream(args.imagedir, args.calib,
@@ -107,13 +111,18 @@ def main():
                 backend_thresh=args.backend_thresh,
                 backend_radius=args.backend_radius,
                 backend_nms=args.backend_nms, beta=args.beta,
-                upsample=args.upsample, weights=args.weights)
-            droid = Droid(cfg)
+                upsample=args.upsample, weights=args.weights,
+                asynchronous=args.asynchronous)
+            droid = make_droid(cfg)
         droid.track(t, image, intrinsics=intrinsics)
 
-    traj = droid.terminate(image_stream(args.imagedir, args.calib,
-                                        args.stride),
-                           backend_steps=tuple(args.backend_steps))
+    stream = image_stream(args.imagedir, args.calib, args.stride)
+    if args.asynchronous:
+        # async facades own their backend schedule (droid_async.py:200-215)
+        traj = droid.terminate(stream)
+    else:
+        traj = droid.terminate(stream,
+                               backend_steps=tuple(args.backend_steps))
     np.savetxt(args.trajectory_path, traj)
     print(f"saved trajectory [{traj.shape[0]},7] to {args.trajectory_path}")
 

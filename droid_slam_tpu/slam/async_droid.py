@@ -144,8 +144,10 @@ class DroidAsync(TrackPipeline):
     # track() inherited from TrackPipeline (incl. the single-dispatch
     # steady-state frame program)
 
-    def terminate(self, stream=None):
-        """droid_async.py:200-215."""
+    def terminate(self, stream=None, backend_steps=None):
+        """droid_async.py:200-215. ``backend_steps`` is accepted for
+        facade-compatibility with Droid and ignored: the async backend owns
+        its iteration schedule (8 same-device / 12 split, backend_iters)."""
         self.flush()
         self.video2.ready = True
         self._thread.join(timeout=600)

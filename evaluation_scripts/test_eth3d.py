@@ -13,13 +13,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from droid_slam_tpu.config import PRESETS
 from droid_slam_tpu.data.stream import eth3d_stream, eth3d_timestamps
 from droid_slam_tpu.eval.ate import evaluate_ate
-from droid_slam_tpu.slam import Droid
+from droid_slam_tpu.slam import make_droid
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--datapath", required=True)
     parser.add_argument("--weights", default=None)
+    parser.add_argument("--asynchronous", action="store_true")
     parser.add_argument("--backend_steps", type=int, nargs="+",
                         default=[7, 12])
     # overrides for reduced-resolution / fixture runs (defaults = the
@@ -39,12 +40,13 @@ def main():
                                target_area=area))
     h, w = frames[0][1].shape[:2]
     cfg = dataclasses.replace(PRESETS["eth3d"], depth=True,
-                              image_size=(h, w), weights=args.weights)
+                              image_size=(h, w), weights=args.weights,
+                              asynchronous=args.asynchronous)
     overrides = {k: getattr(args, k) for k in
                  ("buffer", "warmup", "filter_thresh", "keyframe_thresh")
                  if getattr(args, k) is not None}
     cfg = dataclasses.replace(cfg, **overrides)
-    droid = Droid(cfg)
+    droid = make_droid(cfg)
     for (t, image, depth, intrinsics) in frames:
         droid.track(t, image, depth=depth, intrinsics=intrinsics)
 

@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from droid_slam_tpu.config import PRESETS, EUROC_SCALE_FACTOR
 from droid_slam_tpu.data.stream import euroc_stream, euroc_timestamps
 from droid_slam_tpu.eval.ate import evaluate_ate
-from droid_slam_tpu.slam import Droid
+from droid_slam_tpu.slam import make_droid
 
 
 def main():
@@ -21,6 +21,7 @@ def main():
     parser.add_argument("--datapath", required=True)
     parser.add_argument("--gt", required=True)
     parser.add_argument("--weights", default=None)
+    parser.add_argument("--asynchronous", action="store_true")
     parser.add_argument("--stereo", action="store_true")
     parser.add_argument("--backend_steps", type=int, nargs="+",
                         default=[7, 12])
@@ -35,14 +36,15 @@ def main():
 
     import dataclasses
     cfg = dataclasses.replace(PRESETS["euroc"], stereo=args.stereo,
-                              weights=args.weights)
+                              weights=args.weights,
+                              asynchronous=args.asynchronous)
     overrides = {k: getattr(args, k) for k in
                  ("buffer", "warmup", "filter_thresh", "keyframe_thresh")
                  if getattr(args, k) is not None}
     if args.image_size is not None:
         overrides["image_size"] = tuple(args.image_size)
     cfg = dataclasses.replace(cfg, **overrides)
-    droid = Droid(cfg)
+    droid = make_droid(cfg)
 
     images = euroc_stream(args.datapath, stereo=args.stereo, stride=1,
                           image_size=cfg.image_size)

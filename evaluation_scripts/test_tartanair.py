@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from droid_slam_tpu.config import PRESETS, STEREO_SCALE_FACTOR
 from droid_slam_tpu.eval.ate import evaluate_ate
-from droid_slam_tpu.slam import Droid
+from droid_slam_tpu.slam import make_droid
 
 MONO_TEST_SCENES = [f"M{s}{i:03d}" for s in ["E", "H"] for i in range(8)]
 STEREO_TEST_SCENES = [f"S{s}{i:03d}" for s in ["E", "H"] for i in range(8)]
@@ -50,6 +50,7 @@ def main():
     parser.add_argument("--datapath", required=True)
     parser.add_argument("--gt_path", required=True)
     parser.add_argument("--weights", default=None)
+    parser.add_argument("--asynchronous", action="store_true")
     parser.add_argument("--stereo", action="store_true")
     parser.add_argument("--scene", default=None)
     parser.add_argument("--backend_steps", type=int, nargs="+",
@@ -63,8 +64,9 @@ def main():
     ate_list = []
     for scene in scenes:
         cfg = dataclasses.replace(PRESETS["tartanair"], stereo=args.stereo,
-                                  weights=args.weights)
-        droid = Droid(cfg)
+                                  weights=args.weights,
+                                  asynchronous=args.asynchronous)
+        droid = make_droid(cfg)
         scenedir = os.path.join(args.datapath, scene)
         stream = image_stream(scenedir, stereo=args.stereo)
         for (t, image, intrinsics) in stream:

@@ -13,13 +13,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from droid_slam_tpu.config import PRESETS
 from droid_slam_tpu.data.stream import tum_stream, tum_timestamps
 from droid_slam_tpu.eval.ate import evaluate_ate
-from droid_slam_tpu.slam import Droid
+from droid_slam_tpu.slam import make_droid
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--datapath", required=True)
     parser.add_argument("--weights", default=None)
+    parser.add_argument("--asynchronous", action="store_true")
     parser.add_argument("--backend_steps", type=int, nargs="+",
                         default=[7, 12])
     # overrides for reduced-resolution / fixture runs (defaults = the
@@ -32,14 +33,15 @@ def main():
     args = parser.parse_args()
 
     import dataclasses
-    cfg = dataclasses.replace(PRESETS["tum"], weights=args.weights)
+    cfg = dataclasses.replace(PRESETS["tum"], weights=args.weights,
+                              asynchronous=args.asynchronous)
     overrides = {k: getattr(args, k) for k in
                  ("buffer", "warmup", "filter_thresh", "keyframe_thresh")
                  if getattr(args, k) is not None}
     if args.image_size is not None:
         overrides["image_size"] = tuple(args.image_size)
     cfg = dataclasses.replace(cfg, **overrides)
-    droid = Droid(cfg)
+    droid = make_droid(cfg)
 
     stream = tum_stream(args.datapath, stride=2, image_size=cfg.image_size)
     for (t, image, intrinsics) in stream:
