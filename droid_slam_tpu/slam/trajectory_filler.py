@@ -40,6 +40,23 @@ class PoseTrajectoryFiller:
             np.asarray(tstamps) - ts[t0], jnp.float32)[:, None]
         Gs = se3.mul(se3.exp(w), Ps[jnp.asarray(t0)])
 
+        # capacity guard: the temporary frames live at slots [N, N+M) — past
+        # the buffer they would be silently DROPPED by the padded scatters
+        # (garbage poses out). Split the batch to what fits; with a full
+        # buffer fall back to the interpolation-only poses (the reference
+        # would corrupt/crash here — trajectory_filler.py:66-79 assumes
+        # headroom).
+        B = buf.poses.shape[0]
+        avail = B - N
+        if avail <= 0:
+            return np.asarray(Gs)
+        if M > avail:
+            return np.concatenate([
+                self._fill(tstamps[:avail], images[:avail],
+                           intrinsics[:avail]),
+                self._fill(tstamps[avail:], images[avail:],
+                           intrinsics[avail:])], axis=0)
+
         imgs = jnp.asarray(np.stack(images))  # [M,H,W,3] uint8 BGR
         fmaps = _encode_fnet(self.params, imgs)
 

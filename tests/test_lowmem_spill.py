@@ -205,3 +205,26 @@ def test_spilled_graph_still_usable_after(monkeypatch):
     assert len(graph.edges) == 0 and len(graph.ii_inac) == n0
     t = video.counter
     assert np.isfinite(np.asarray(video.buf.poses[:t])).all()
+
+
+def test_traj_filler_capacity_guard():
+    """The filler's temporary frames must never scatter past the buffer
+    (silent drop -> garbage poses). With only 8 free slots, a 20-frame
+    fill must split batches and stay finite (slam/trajectory_filler.py
+    capacity guard; the reference assumes headroom)."""
+    import jax
+    from droid_slam_tpu.models import nets
+    from droid_slam_tpu.slam.trajectory_filler import PoseTrajectoryFiller
+
+    video, _ = _make_video_and_graph(t=40)  # buffer = 48
+    params = nets.init_params(jax.random.PRNGKey(0))
+    filler = PoseTrajectoryFiller(params, video)
+    rng = np.random.default_rng(0)
+    H, W = 64, 96
+    stream = [(k + 0.5,
+               rng.integers(0, 255, size=(H, W, 3)).astype(np.uint8),
+               np.asarray([76.8, 76.8, 48.0, 32.0], np.float32))
+              for k in range(20)]
+    out = filler(iter(stream))
+    assert out.shape == (20, 7) and np.isfinite(out).all()
+    assert video.counter == 40  # temporaries popped
