@@ -41,6 +41,16 @@ _SCHUR_CHUNK = 8
 # (global-BA scale; see _scatter_pose_mat_flat). Module-level for tests.
 _BIG_NW = 256
 
+# Disparity ceiling applied together with the reference's 0.001 floor at the
+# end of every BA call. The reference has no ceiling (depth_video.py:226),
+# but on degenerate input (no-parallax texture shifts) disps run away
+# (2e10 observed on the bench scene) and the next BA's fp32 Hessian assembly
+# squares them into overflow -> NaN. 1e6x the normalized scene scale is far
+# beyond any physical scene; it only engages where the reference would NaN.
+# Frozen at import (baked into traced programs, not a jit cache key); tests
+# monkeypatch the constant.
+_DISP_MAX = float(__import__("os").environ.get("DROID_DISP_MAX", "1e6"))
+
 
 def _schur_assembly() -> str:
     """Schur S-matrix assembly formulation: "scatter" (segment-sum, default)
@@ -478,13 +488,21 @@ def ba_iterations(shape: BAShape, poses, disps, disps_sens, damping,
         new_disps = disps.at[win].set(
             jnp.where(plan.k_valid[:, None], new_disps_w, disps_w)
             .reshape(NW, h, w))
+        # non-finite step guard: if the fp32 assembly/solve overflowed
+        # (degenerate geometry at float extremes), keep the previous iterate
+        # instead of poisoning the state — generalizes solve_psd's
+        # zero-step-on-Cholesky-failure to inf/NaN born in the Hessian
+        # assembly itself. Bit-exact no-op whenever the step is finite.
+        ok = jnp.isfinite(dx).all() & jnp.isfinite(dz).all()
+        new_poses = jnp.where(ok, new_poses, poses)
+        new_disps = jnp.where(ok, new_disps, disps)
         return (new_poses, new_disps), None
 
     (poses, disps), _ = jax.lax.scan(gn_iteration, (poses, disps), None,
                                      length=shape.iters)
     if not shape.motion_only:
-        # final clamp (depth_video.py:226)
-        win_clamped = jnp.clip(disps[win], min=0.001)
+        # final clamp (depth_video.py:226) + overflow ceiling (_DISP_MAX)
+        win_clamped = jnp.clip(disps[win], min=0.001, max=_DISP_MAX)
         disps = disps.at[win].set(win_clamped)
     return poses, disps
 

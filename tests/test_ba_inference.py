@@ -344,3 +344,47 @@ def test_big_window_flat_assembly_bit_exact(rng, monkeypatch):
         outs[thr] = jax.tree.map(np.asarray, fn(shape, *args))
     np.testing.assert_array_equal(outs[8][0], outs[10 ** 6][0])
     np.testing.assert_array_equal(outs[8][1], outs[10 ** 6][1])
+
+
+def test_ba_degenerate_stays_finite(rng):
+    """Overflow robustness (bench.py terminate on the no-parallax scene):
+    disps that ran away to fp32 extremes must not NaN the BA — the _DISP_MAX
+    ceiling bounds the final clamp and the non-finite step guard turns an
+    overflowed GN iteration into a no-op. The reference NaNs here
+    (depth_video.py:226 has only a floor)."""
+    (_, _, poses0, disps0, disps_sens, damping, intr4,
+     ii, jj, target) = setup(rng)
+    n, h, w = np.asarray(disps0).shape
+    E = len(ii)
+    weight = jnp.ones((E, 2, h * w), jnp.float32)
+    shape, plan = inference.build_plan(ii, jj, 1, n, iters=3)
+    tgt = _pad_edges(target, shape.edges)
+    wgt = _pad_edges(weight, shape.edges)
+
+    # the post-normalize state observed on the degenerate bench scene:
+    # huge translations + disparities spanning ~25 decades
+    poses_bad = jnp.asarray(np.asarray(poses0)
+                            * np.array([1e14, 1e14, 1e14, 1, 1, 1, 1],
+                                       np.float32))
+    disps_bad = disps0 * jnp.asarray(
+        10.0 ** rng.uniform(-11, 15, size=(n, h, w)).astype(np.float32))
+
+    poses, disps = poses_bad, disps_bad
+    for _ in range(3):
+        poses, disps = inference.ba_windowed(
+            shape, poses, disps, disps_sens, damping, intr4, tgt, wgt,
+            plan, 1e-4, 0.1)
+    poses, disps = np.asarray(poses), np.asarray(disps)
+    assert np.isfinite(poses).all()
+    assert np.isfinite(disps).all()
+    assert disps.max() <= inference._DISP_MAX
+    assert disps.min() >= 0.001
+
+    # NaN already in the inputs (weights): the guard must keep the iterate
+    # instead of propagating it into poses/disps
+    wgt_nan = wgt.at[0, 0, 0].set(jnp.nan)
+    p2, d2 = inference.ba_windowed(
+        shape, jnp.asarray(np.asarray(poses)), jnp.asarray(disps) + 0,
+        disps_sens, damping, intr4, tgt, wgt_nan, plan, 1e-4, 0.1)
+    assert np.isfinite(np.asarray(p2)).all()
+    assert np.isfinite(np.asarray(d2)).all()
